@@ -1,0 +1,11 @@
+from .coriolis import FPlane, BetaPlane
+from .stresses import SemiImplicitStress
+from .free_drift import StressBalanceFreeDrift
+from .rheologies import ViscousRheology, ElastoViscoPlasticRheology
+from .momentum import SeaIceMomentumEquation, ExplicitSolver, SplitExplicitSolver
+
+__all__ = [
+    "FPlane", "BetaPlane", "SemiImplicitStress", "StressBalanceFreeDrift",
+    "ViscousRheology", "ElastoViscoPlasticRheology",
+    "SeaIceMomentumEquation", "ExplicitSolver", "SplitExplicitSolver",
+]

@@ -1,0 +1,143 @@
+"""Halo filling, boundary conditions, and peripheral/immersed masks.
+
+Functional replacement for Oceananigans ``fill_halo_regions!`` /
+``peripheral_node`` / ``mask_immersed_field_xy!`` as used by the reference
+(`src/sea_ice_model.jl:379-394`,
+`src/SeaIceDynamics/split_explicit_momentum_equations.jl:226`).
+
+All fills are pure: ``q -> q_with_fresh_halos``.  On a single device this is
+the *entire* "communication" layer; in the distributed path
+(`parallel/halo.py`) the same functions fill the physical-boundary sides
+while ``lax.ppermute`` fills rank-internal sides.
+
+Default boundary conditions mirror the reference:
+
+* centered tracers (h, ℵ, hs, S, σ11, σ22, ...): periodic wrap or
+  zero-gradient (no-flux) at bounded walls;
+* wall-normal velocity components: zero in the halo beyond a bounded wall;
+  the wall face itself is zeroed by the peripheral mask in the velocity
+  kernels (impenetrability), exactly like `peripheral_node` masking in
+  `split_explicit_momentum_equations.jl:226,261`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .grids import Grid, PERIODIC, BOUNDED, FLAT
+
+
+def _fill_x(q, grid: Grid, face: bool):
+    H, N = grid.Hx, grid.Nx
+    topo = grid.topology[0]
+    if topo == FLAT or H == 0:
+        return q
+    if topo == PERIODIC:
+        q = q.at[:H].set(q[N:N + H])
+        q = q.at[H + N:].set(q[H:2 * H])
+    elif topo == BOUNDED:
+        if face:
+            q = q.at[:H].set(0)
+            q = q.at[H + N + 1:].set(0)
+        else:
+            q = q.at[:H].set(q[H:H + 1])
+            q = q.at[H + N:].set(q[H + N - 1:H + N])
+    return q
+
+
+def _fill_y(q, grid: Grid, face: bool):
+    H, N = grid.Hy, grid.Ny
+    topo = grid.topology[1]
+    if topo == FLAT or H == 0:
+        return q
+    if topo == PERIODIC:
+        q = q.at[:, :H].set(q[:, N:N + H])
+        q = q.at[:, H + N:].set(q[:, H:2 * H])
+    elif topo == BOUNDED:
+        if face:
+            q = q.at[:, :H].set(0)
+            q = q.at[:, H + N + 1:].set(0)
+        else:
+            q = q.at[:, :H].set(q[:, H:H + 1])
+            q = q.at[:, H + N:].set(q[:, H + N - 1:H + N])
+    return q
+
+
+def fill_halos_cc(q, grid: Grid):
+    q = _fill_x(q, grid, face=False)
+    q = _fill_y(q, grid, face=False)
+    return q
+
+
+def fill_halos_fc(q, grid: Grid):
+    """u-like fields: face in x, center in y."""
+    q = _fill_x(q, grid, face=True)
+    q = _fill_y(q, grid, face=False)
+    return q
+
+
+def fill_halos_cf(q, grid: Grid):
+    """v-like fields: center in x, face in y."""
+    q = _fill_x(q, grid, face=False)
+    q = _fill_y(q, grid, face=True)
+    return q
+
+
+def fill_halos_ff(q, grid: Grid):
+    q = _fill_x(q, grid, face=True)
+    q = _fill_y(q, grid, face=True)
+    return q
+
+
+FILLERS = {
+    ("c", "c"): fill_halos_cc,
+    ("f", "c"): fill_halos_fc,
+    ("c", "f"): fill_halos_cf,
+    ("f", "f"): fill_halos_ff,
+}
+
+
+# --- peripheral / immersed masks --------------------------------------------
+
+def _solid_base(grid: Grid):
+    """Solid-cell mask including the implicit 'outside' of bounded walls."""
+    if grid.solid_cc is not None:
+        return np.asarray(grid.solid_cc)
+    m = np.zeros(grid.shape, bool)
+    if grid.topology[0] == BOUNDED and grid.Hx > 0:
+        m[:grid.Hx] = True
+        m[grid.Hx + grid.Nx:] = True
+    if grid.topology[1] == BOUNDED and grid.Hy > 0:
+        m[:, :grid.Hy] = True
+        m[:, grid.Hy + grid.Ny:] = True
+    return m
+
+
+def peripheral_masks(grid: Grid):
+    """Boolean masks at (f,c), (c,f) and (f,f) that are True wherever the
+    corresponding node touches a solid cell or a bounded-domain wall.
+
+    Mirrors `peripheral_node` (Oceananigans) as used to zero velocities in the
+    momentum substeps and to kill fluxes through immersed faces.
+    Face nodes are peripheral when *either* adjacent cell is solid.
+    """
+    s = _solid_base(grid)
+    sx = np.roll(s, 1, 0)   # cell I-1
+    sy = np.roll(s, 1, 1)
+    sxy = np.roll(sx, 1, 1)
+    per_fc = s | sx
+    per_cf = s | sy
+    per_ff = s | sx | sy | sxy
+    return (jnp.asarray(per_fc), jnp.asarray(per_cf), jnp.asarray(per_ff))
+
+
+def solid_cc_mask(grid: Grid):
+    return jnp.asarray(_solid_base(grid))
+
+
+def mask_immersed_cc(q, grid: Grid):
+    """Zero a centered field over solid cells (mask_immersed_field_xy!)."""
+    if grid.solid_cc is None:
+        return q
+    return jnp.where(grid.solid_cc, jnp.zeros((), q.dtype), q)

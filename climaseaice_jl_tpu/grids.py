@@ -1,0 +1,321 @@
+"""Staggered C-grid layer with precomputed metric arrays.
+
+TPU-native equivalent of the Oceananigans grid subsystem used by the reference
+(`RectilinearGrid`, `LatitudeLongitudeGrid`, `ImmersedBoundaryGrid`, `Flat`
+topologies; see /root/reference/src/ClimaSeaIce.jl:36-37 and SURVEY.md §2.3).
+
+Design
+======
+Every 2-D field is a halo-inclusive padded array of shape
+``(Nx + 2*Hx, Ny + 2*Hy)``.  All four staggered locations (cc, fc, cf, ff)
+share that one shape; the convention (Oceananigans-compatible, see
+`src/Rheologies/Rheologies.jl:10-17`) is:
+
+* center index ``i`` lives at padded array index ``Hx + i``;
+* a face with the same array index sits at the *left/south* edge of that
+  center, so ``u[I]`` is the x-face between centers ``I-1`` and ``I``.
+
+Metric "arrays" are stored broadcast-ready: scalars for uniform rectilinear
+grids, ``(1, nyp)`` arrays for latitude-longitude grids (metrics vary with
+latitude only).  XLA folds the broadcasts into the fused stencil loops, so
+nothing is wasted keeping them small.
+
+Degenerate (``flat``) directions — used by the reference for 0-D/1-D column
+models (`examples/freezing_bucket.jl:43`) — have size 1, halo 0 and unit
+metrics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .utils import pytree_dataclass, static_field
+
+PERIODIC = "periodic"
+BOUNDED = "bounded"
+FLAT = "flat"
+
+EARTH_RADIUS = 6371.0e3  # m
+
+
+@pytree_dataclass
+class Grid:
+    # --- static configuration -------------------------------------------------
+    Nx: int = static_field()
+    Ny: int = static_field()
+    Hx: int = static_field()
+    Hy: int = static_field()
+    topology: tuple = static_field()  # (TX, TY) each in {periodic, bounded, flat}
+    dtype: str = static_field()
+    kind: str = static_field(default="rectilinear")  # rectilinear | latlon
+
+    # --- coordinates (padded 1-D arrays) -------------------------------------
+    xc: object = None  # (nxp,) cell-center x (or longitude, degrees)
+    xf: object = None  # (nxp,) x-face positions
+    yc: object = None  # (nyp,)
+    yf: object = None  # (nyp,)
+
+    # --- metric terms, broadcastable against (nxp, nyp) -----------------------
+    dx_cc: object = None
+    dx_fc: object = None
+    dx_cf: object = None
+    dx_ff: object = None
+    dy_cc: object = None
+    dy_fc: object = None
+    dy_cf: object = None
+    dy_ff: object = None
+    az_cc: object = None
+    az_fc: object = None
+    az_cf: object = None
+    az_ff: object = None
+
+    # --- immersed boundary ----------------------------------------------------
+    # Boolean (nxp, nyp) array, True where the cell is solid (land); or None.
+    solid_cc: object = None
+
+    # ------------------------------------------------------------------------
+    @property
+    def np_dtype(self):
+        return np.dtype(self.dtype)
+
+    @property
+    def nxp(self):
+        return self.Nx + 2 * self.Hx
+
+    @property
+    def nyp(self):
+        return self.Ny + 2 * self.Hy
+
+    @property
+    def shape(self):
+        """Padded field shape."""
+        return (self.nxp, self.nyp)
+
+    @property
+    def interior_shape(self):
+        return (self.Nx, self.Ny)
+
+    def interior(self, q):
+        """View of the interior region of a padded field."""
+        return q[self.Hx:self.Hx + self.Nx, self.Hy:self.Hy + self.Ny]
+
+    def set_interior(self, q, values):
+        values = jnp.broadcast_to(jnp.asarray(values, q.dtype), self.interior_shape)
+        return q.at[self.Hx:self.Hx + self.Nx, self.Hy:self.Hy + self.Ny].set(values)
+
+    def new_field(self, fill=0.0):
+        """Allocate a padded field (location is a usage convention, not state)."""
+        return jnp.full(self.shape, fill, dtype=self.np_dtype)
+
+    def field_from(self, values):
+        """Build a padded field whose interior equals ``values`` (scalar/array/callable).
+
+        Callables receive (x, y) broadcast arrays of cell-center coordinates,
+        mirroring Oceananigans ``set!(field, f(x, y))``.
+        """
+        q = self.new_field()
+        if callable(values):
+            x = self.xc[self.Hx:self.Hx + self.Nx, None]
+            y = self.yc[None, self.Hy:self.Hy + self.Ny]
+            values = values(x, y)
+        return self.set_interior(q, values)
+
+    @property
+    def is_immersed(self):
+        return self.solid_cc is not None
+
+
+def _topo(t):
+    if t not in (PERIODIC, BOUNDED, FLAT):
+        raise ValueError(f"unknown topology {t!r}")
+    return t
+
+
+def _pad_coords(N, H, lo, hi, dtype):
+    """Padded center & face coordinate vectors for a uniform spacing."""
+    if N == 0:
+        N = 1
+    d = (hi - lo) / N
+    idx = np.arange(-H, N + H)
+    xf = lo + idx * d
+    xc = xf + 0.5 * d
+    return xc.astype(dtype), xf.astype(dtype), d
+
+
+def RectilinearGrid(size=None, x=(0.0, 1.0), y=(0.0, 1.0),
+                    topology=None, halo=None, dtype="float64"):
+    """Uniform rectilinear grid (subset of Oceananigans' RectilinearGrid used by
+    the reference; see e.g. `examples/ice_advected_by_anticyclone.jl:41-46`).
+
+    ``size`` may be ``()`` (0-D column), ``(Nx,)`` (1-D) or ``(Nx, Ny)``.
+    ``topology`` entries: 'periodic' | 'bounded' | 'flat'; flat directions are
+    implied by the missing sizes.
+    """
+    if size is None:
+        size = ()
+    size = tuple(size)
+    if len(size) == 0:
+        Nx, Ny = 1, 1
+        topo = (FLAT, FLAT)
+    elif len(size) == 1:
+        Nx, Ny = size[0], 1
+        topo = topology or (PERIODIC, FLAT)
+    else:
+        Nx, Ny = size
+        topo = topology or (PERIODIC, PERIODIC)
+    topo = (_topo(topo[0]), _topo(topo[1]))
+
+    if halo is None:
+        halo = 4
+    Hx = 0 if topo[0] == FLAT else halo
+    Hy = 0 if topo[1] == FLAT else halo
+
+    npdt = np.dtype(dtype)
+    xc, xf, dx = _pad_coords(Nx, Hx, *x, npdt) if topo[0] != FLAT else \
+        (np.zeros(Nx, npdt) + 0.5, np.zeros(Nx, npdt), 1.0)
+    yc, yf, dy = _pad_coords(Ny, Hy, *y, npdt) if topo[1] != FLAT else \
+        (np.zeros(Ny, npdt) + 0.5, np.zeros(Ny, npdt), 1.0)
+
+    dx = np.asarray(dx, npdt)[()]
+    dy = np.asarray(dy, npdt)[()]
+    az = dx * dy
+
+    mk = lambda v: jnp.asarray(v, npdt)
+    return Grid(
+        Nx=Nx, Ny=Ny, Hx=Hx, Hy=Hy, topology=topo, dtype=str(npdt),
+        kind="rectilinear",
+        xc=mk(xc), xf=mk(xf), yc=mk(yc), yf=mk(yf),
+        dx_cc=mk(dx), dx_fc=mk(dx), dx_cf=mk(dx), dx_ff=mk(dx),
+        dy_cc=mk(dy), dy_fc=mk(dy), dy_cf=mk(dy), dy_ff=mk(dy),
+        az_cc=mk(az), az_fc=mk(az), az_cf=mk(az), az_ff=mk(az),
+        solid_cc=None,
+    )
+
+
+def LatitudeLongitudeGrid(size, longitude=(0.0, 360.0), latitude=(-80.0, 80.0),
+                          topology=None, halo=None, dtype="float64",
+                          radius=EARTH_RADIUS):
+    """Uniform latitude-longitude spherical-shell grid.
+
+    Metrics follow the exact spherical-cell formulas: ``Δy = R Δφ``,
+    ``Δx(φ) = R cos φ Δλ`` and ``Az = R² Δλ (sin φ₊ − sin φ₋)``.  Used for the
+    SBP adjointness test, mirroring `test/test_rheology_energy_budget.jl:50-125`
+    which runs on a LatitudeLongitudeGrid.
+    """
+    Nx, Ny = size
+    topo = topology or (PERIODIC, BOUNDED)
+    topo = (_topo(topo[0]), _topo(topo[1]))
+    if halo is None:
+        halo = 4
+    Hx = 0 if topo[0] == FLAT else halo
+    Hy = 0 if topo[1] == FLAT else halo
+
+    npdt = np.dtype(dtype)
+    lamc, lamf, dlam = _pad_coords(Nx, Hx, *longitude, np.dtype("float64"))
+    phic, phif, dphi = _pad_coords(Ny, Hy, *latitude, np.dtype("float64"))
+
+    deg = np.pi / 180.0
+    dlam_r = dlam * deg
+    dphi_r = dphi * deg
+
+    # y-metrics: constant
+    dy = radius * dphi_r
+
+    # x-metrics: vary with latitude; rows are the y-location of each staggering
+    cos_c = np.cos(phic * deg)
+    cos_f = np.cos(phif * deg)
+    dx_at_c = radius * cos_c * dlam_r   # (nyp,) at center latitudes
+    dx_at_f = radius * cos_f * dlam_r   # (nyp,) at face latitudes
+
+    # areas: R^2 dλ (sin φ_{j+1/2} - sin φ_{j-1/2})
+    sin_f = np.sin(phif * deg)
+    sin_c = np.sin(phic * deg)
+    az_at_c = np.empty_like(sin_c)
+    az_at_c[:-1] = radius**2 * dlam_r * (sin_f[1:] - sin_f[:-1])
+    az_at_c[-1] = az_at_c[-2]
+    az_at_f = np.empty_like(sin_c)
+    az_at_f[1:] = radius**2 * dlam_r * (sin_c[1:] - sin_c[:-1])
+    az_at_f[0] = az_at_f[1]
+
+    row = lambda v: jnp.asarray(v[None, :], npdt)   # (1, nyp) broadcast rows
+    mk = lambda v: jnp.asarray(v, npdt)
+
+    return Grid(
+        Nx=Nx, Ny=Ny, Hx=Hx, Hy=Hy, topology=topo, dtype=str(npdt),
+        kind="latlon",
+        xc=mk(lamc), xf=mk(lamf), yc=mk(phic), yf=mk(phif),
+        dx_cc=row(dx_at_c), dx_fc=row(dx_at_c),
+        dx_cf=row(dx_at_f), dx_ff=row(dx_at_f),
+        dy_cc=mk(dy), dy_fc=mk(dy), dy_cf=mk(dy), dy_ff=mk(dy),
+        az_cc=row(az_at_c), az_fc=row(az_at_c),
+        az_cf=row(az_at_f), az_ff=row(az_at_f),
+        solid_cc=None,
+    )
+
+
+def ImmersedBoundaryGrid(grid: Grid, solid_mask):
+    """Attach a land mask to ``grid``.
+
+    ``solid_mask``: interior-shaped boolean array (True = land), or a callable
+    ``f(x, y) -> bool`` over cell centers.  Equivalent in role to Oceananigans'
+    `ImmersedBoundaryGrid` + `GridFittedBottom` as used by
+    `examples/ice_advected_on_coastline.jl:54-98`.
+    """
+    if callable(solid_mask):
+        x = np.asarray(grid.xc)[grid.Hx:grid.Hx + grid.Nx, None]
+        y = np.asarray(grid.yc)[None, grid.Hy:grid.Hy + grid.Ny]
+        solid_mask = solid_mask(x, y)
+    solid_mask = np.asarray(solid_mask, bool)
+    full = np.zeros(grid.shape, bool)
+    full[grid.Hx:grid.Hx + grid.Nx, grid.Hy:grid.Hy + grid.Ny] = solid_mask
+    # halo continuation consistent with the topology (periodic wrap / edge copy)
+    full = _extend_mask(full, grid)
+    return grid.evolve(solid_cc=jnp.asarray(full))
+
+
+def _extend_mask(mask, grid):
+    Hx, Hy, Nx, Ny = grid.Hx, grid.Hy, grid.Nx, grid.Ny
+    if Hx > 0:
+        if grid.topology[0] == PERIODIC:
+            mask[:Hx] = mask[Nx:Nx + Hx]
+            mask[Hx + Nx:] = mask[Hx:2 * Hx]
+        else:  # bounded: outside the domain counts as solid
+            mask[:Hx] = True
+            mask[Hx + Nx:] = True
+    if Hy > 0:
+        if grid.topology[1] == PERIODIC:
+            mask[:, :Hy] = mask[:, Ny:Ny + Hy]
+            mask[:, Hy + Ny:] = mask[:, Hy:2 * Hy]
+        else:
+            mask[:, :Hy] = True
+            mask[:, Hy + Ny:] = True
+    return mask
+
+
+def with_halo(grid: Grid, halo):
+    """Return a copy of ``grid`` with new halo widths (same interior).
+
+    Analog of Oceananigans `with_halo`, used by the reference for the
+    communication-avoiding split-explicit solver
+    (`src/SeaIceDynamics/split_explicit_momentum_equations.jl:51-64`).
+    """
+    Hx = 0 if grid.topology[0] == FLAT else halo
+    Hy = 0 if grid.topology[1] == FLAT else halo
+    if (Hx, Hy) == (grid.Hx, grid.Hy):
+        return grid
+    if grid.kind == "rectilinear":
+        x0 = float(grid.xf[grid.Hx])
+        x1 = float(grid.xf[grid.Hx] + grid.Nx * (grid.xf[1] - grid.xf[0])) \
+            if grid.topology[0] != FLAT else 1.0
+        y0 = float(grid.yf[grid.Hy])
+        y1 = float(grid.yf[grid.Hy] + grid.Ny * (grid.yf[1] - grid.yf[0])) \
+            if grid.topology[1] != FLAT else 1.0
+        g = RectilinearGrid((grid.Nx, grid.Ny), x=(x0, x1), y=(y0, y1),
+                            topology=grid.topology, halo=halo, dtype=grid.dtype)
+    else:
+        raise NotImplementedError("with_halo for non-rectilinear grids")
+    if grid.solid_cc is not None:
+        interior_mask = np.asarray(grid.interior(grid.solid_cc))
+        g = ImmersedBoundaryGrid(g, interior_mask)
+    return g

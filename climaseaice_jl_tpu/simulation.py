@@ -1,0 +1,109 @@
+"""Simulation driver: run loop, callbacks, schedules, NaN guard.
+
+Host-side replacement for the Oceananigans `Simulation`/`run!`/`Callback`
+machinery the reference leans on (`examples/freezing_bucket.jl:99-118`,
+SURVEY.md §2.3).  The driver owns the (model, state) pair, calls the jitted
+step, and fires host callbacks / writers on schedule.
+"""
+
+from __future__ import annotations
+
+import time as _time
+
+import numpy as np
+import jax
+
+from .model import step as _jitted_step
+
+
+class IterationInterval:
+    def __init__(self, n):
+        self.n = n
+
+    def __call__(self, sim):
+        return sim.iteration % self.n == 0
+
+
+class TimeInterval:
+    def __init__(self, interval):
+        self.interval = interval
+        self._next = 0.0
+
+    def __call__(self, sim):
+        if sim.time + 1e-12 >= self._next:
+            self._next = (np.floor(sim.time / self.interval) + 1) * self.interval
+            return True
+        return False
+
+
+class Callback:
+    def __init__(self, func, schedule=None):
+        self.func = func
+        self.schedule = schedule or IterationInterval(1)
+
+    def maybe_fire(self, sim):
+        if self.schedule(sim):
+            self.func(sim)
+
+
+class Simulation:
+    """Drive a model forward: ``Simulation(model, state, dt, stop_time=...)``.
+
+    ``sim.run()`` loops the jitted step, firing callbacks and output writers.
+    The state pytree after each step is stored on ``sim.state``.
+    """
+
+    def __init__(self, model, state, dt, stop_time=None, stop_iteration=None,
+                 check_nans=True):
+        self.model = model
+        self.state = state
+        self.dt = float(dt)
+        self.stop_time = stop_time
+        self.stop_iteration = stop_iteration
+        self.callbacks = {}
+        self.output_writers = {}
+        self.check_nans = check_nans
+        self.wall_seconds = 0.0
+
+    @property
+    def time(self):
+        return float(self.state.clock.time)
+
+    @property
+    def iteration(self):
+        return int(self.state.clock.iteration)
+
+    def should_stop(self):
+        if self.stop_time is not None and self.time >= self.stop_time - 1e-9:
+            return True
+        if self.stop_iteration is not None and self.iteration >= self.stop_iteration:
+            return True
+        return False
+
+    def _fire(self):
+        for cb in self.callbacks.values():
+            cb.maybe_fire(self)
+        for w in self.output_writers.values():
+            w.maybe_write(self)
+
+    def run(self):
+        t0 = _time.perf_counter()
+        self._fire()
+        while not self.should_stop():
+            self.state = _jitted_step(self.model, self.state, self.dt)
+            if self.check_nans and self.iteration % 100 == 0:
+                h = np.asarray(self.model.grid.interior(self.state.h))
+                if np.any(np.isnan(h)):
+                    raise FloatingPointError(
+                        f"NaN ice thickness at iteration {self.iteration}")
+            self._fire()
+        jax.block_until_ready(self.state.h)
+        self.wall_seconds += _time.perf_counter() - t0
+        return self.state
+
+
+def time_step(model, state, dt, steps=1):
+    """Convenience: advance ``steps`` jitted steps."""
+    for _ in range(steps):
+        state = _jitted_step(model, state, dt)
+    return state
