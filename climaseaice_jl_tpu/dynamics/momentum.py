@@ -193,10 +193,12 @@ def split_explicit_momentum_step(model, state, dt, u_start, v_start,
 
     h, a = state.h, state.a
     rho = jnp.broadcast_to(jnp.asarray(model.sea_ice_density, grid.np_dtype), grid.shape)
+    is_evp = isinstance(rheo, ElastoViscoPlasticRheology)
 
     # initialize_rheology!: P over the full array incl. halos; snapshot uⁿ, vⁿ
-    # (`elasto_visco_plastic_rheology.jl:192-216`)
-    P = ice_strength(rheo, h, a)
+    # (`elasto_visco_plastic_rheology.jl:192-216`); no-op for other rheologies
+    # (`Rheologies.jl:44-49`)
+    P = ice_strength(rheo, h, a) if is_evp else None
     un, vn = u_start, v_start
 
     m_cc = h * a * rho
@@ -215,7 +217,8 @@ def split_explicit_momentum_step(model, state, dt, u_start, v_start,
 
     def u_step(u, v, s11, s22, s12, alpha):
         f = fields_of(u, v, s11, s22, s12, alpha)
-        dtau = dt / ixf(alpha)
+        # compute_substep_Δt: Δt/ᾱ for αEVP, Δt/substeps otherwise
+        dtau = dt / ixf(alpha) if is_evp else dt / substeps
         Gu, _ = velocity_tendencies(model, dyn, grid, dtau, f, clock)
         tau_ui = (implicit_tau_x_coefficient(grid, bottom, clock, f)
                   - implicit_tau_x_coefficient(grid, top, clock, f)) * _inv(m_fc, m_fc > 0) * a_fc
@@ -228,7 +231,7 @@ def split_explicit_momentum_step(model, state, dt, u_start, v_start,
 
     def v_step(u, v, s11, s22, s12, alpha):
         f = fields_of(u, v, s11, s22, s12, alpha)
-        dtau = dt / iyf(alpha)
+        dtau = dt / iyf(alpha) if is_evp else dt / substeps
         _, Gv = velocity_tendencies(model, dyn, grid, dtau, f, clock)
         tau_vi = (implicit_tau_y_coefficient(grid, bottom, clock, f)
                   - implicit_tau_y_coefficient(grid, top, clock, f)) * _inv(m_cf, m_cf > 0) * a_cf
@@ -242,9 +245,11 @@ def split_explicit_momentum_step(model, state, dt, u_start, v_start,
     def body(i, carry):
         u, v, s11, s22, s12, alpha, Delta, zcc, zff = carry
         # compute_stresses!: viscosities then αEVP stress relaxation
-        Delta, zcc, zff = compute_evp_viscosities(rheo, grid, u, v, P)
-        s11, s22, s12, alpha = compute_evp_stresses(
-            rheo, grid, u, v, h, a, rho, dt, s11, s22, s12, Delta, zcc, zff, P)
+        # (no-op for non-EVP rheologies, `Rheologies.jl:44-47`)
+        if is_evp:
+            Delta, zcc, zff = compute_evp_viscosities(rheo, grid, u, v, P)
+            s11, s22, s12, alpha = compute_evp_stresses(
+                rheo, grid, u, v, h, a, rho, dt, s11, s22, s12, Delta, zcc, zff, P)
 
         substep = i + 1  # reference counts substeps from 1
 
@@ -266,12 +271,18 @@ def split_explicit_momentum_step(model, state, dt, u_start, v_start,
     u0 = halo_u(u_start)
     v0 = halo_v(v_start)
     zeros = jnp.zeros(grid.shape, grid.np_dtype)
-    init = (u0, v0, state.sig11, state.sig22, state.sig12, state.alpha,
-            state.Delta if state.Delta is not None else zeros,
-            state.zeta_cc if state.zeta_cc is not None else zeros,
-            state.zeta_ff if state.zeta_ff is not None else zeros)
+
+    def _or_zeros(q):
+        return q if q is not None else zeros
+
+    init = (u0, v0, _or_zeros(state.sig11), _or_zeros(state.sig22),
+            _or_zeros(state.sig12), _or_zeros(state.alpha),
+            _or_zeros(state.Delta), _or_zeros(state.zeta_cc), _or_zeros(state.zeta_ff))
 
     u, v, s11, s22, s12, alpha, Delta, zcc, zff = lax.fori_loop(0, substeps, body, init)
+
+    if not is_evp:
+        return dict(u=u, v=v)
 
     # finalize_rheology!: σ halo refresh (`elasto_visco_plastic_rheology.jl:275-280`)
     s11 = fill_halos_cc(s11, grid)

@@ -1,0 +1,87 @@
+"""Advection scheme tests (analog of `test/test_sea_ice_advection.jl`):
+constancy preservation, conservation, and translation accuracy."""
+
+import numpy as np
+import pytest
+
+import climaseaice_jl_tpu as csi
+from climaseaice_jl_tpu.advection import horizontal_div_Uc
+from climaseaice_jl_tpu.fields import fill_halos_cc
+
+SCHEMES = [csi.Centered(order=2), csi.UpwindBiased(order=1),
+           csi.UpwindBiased(order=3), csi.UpwindBiased(order=5),
+           csi.UpwindBiased(order=7), csi.WENO(order=5), csi.WENO(order=7)]
+IDS = ["C2", "UB1", "UB3", "UB5", "UB7", "WENO5", "WENO7"]
+
+
+@pytest.mark.parametrize("scheme", SCHEMES, ids=IDS)
+def test_constancy_preservation(scheme):
+    """Uniform tracer in a divergence-free velocity field has zero tendency."""
+    grid = csi.RectilinearGrid(size=(16, 16), x=(0, 1), y=(0, 1))
+    c = grid.new_field() + 3.7
+    u = grid.new_field() + 0.5
+    v = grid.new_field() - 0.25
+    div = np.asarray(grid.interior(horizontal_div_Uc(grid, scheme, u, v, c)))
+    np.testing.assert_allclose(div, 0.0, atol=1e-13)
+
+
+@pytest.mark.parametrize("scheme", SCHEMES, ids=IDS)
+def test_conservation_periodic(scheme):
+    """Flux-form divergence sums to zero over a periodic domain."""
+    grid = csi.RectilinearGrid(size=(32, 32), x=(0, 1), y=(0, 1))
+    rng = np.random.default_rng(42)
+    c = fill_halos_cc(grid.set_interior(grid.new_field(), rng.random((32, 32))), grid)
+    u = grid.new_field() + 0.3
+    v = grid.new_field() + 0.1
+    div = np.asarray(grid.interior(horizontal_div_Uc(grid, scheme, u, v, c)))
+    az = float(np.asarray(grid.az_cc))
+    assert abs((div * az).sum()) < 1e-12
+
+
+@pytest.mark.parametrize("scheme,tol", [(csi.UpwindBiased(order=5), 0.06),
+                                        (csi.WENO(order=5), 0.06),
+                                        (csi.WENO(order=7), 0.03)],
+                         ids=["UB5", "WENO5", "WENO7"])
+def test_translation_accuracy(scheme, tol):
+    """A smooth bump advected across a periodic domain returns ≈ unchanged."""
+    N = 64
+    grid = csi.RectilinearGrid(size=(N, N), x=(0, 1), y=(0, 1))
+    model = csi.sea_ice_model(grid, ice_thermodynamics=None, advection=scheme,
+                              timestepper="SplitRungeKutta3")
+
+    def bump(x, y):
+        return np.exp(-((x - 0.5) ** 2 + (y - 0.5) ** 2) / 0.02)
+
+    state = csi.initial_state(model, h=bump, a=1.0, u=1.0, v=0.0)
+    c0 = np.asarray(grid.interior(state.h)).copy()
+
+    # advect once around the domain: T = L/u = 1
+    steps = 256
+    dt = 1.0 / steps
+    for _ in range(steps):
+        state = csi.step(model, state, dt)
+
+    c1 = np.asarray(grid.interior(state.h))
+    err = np.abs(c1 - c0).max() / np.abs(c0).max()
+    assert err < tol, f"translation error {err}"
+    # flux form conserves total volume exactly (periodic)
+    assert abs(c1.sum() - c0.sum()) / abs(c0.sum()) < 1e-12
+
+
+def test_weno_no_oscillations():
+    """WENO keeps a square wave essentially monotone (no large over/undershoot)."""
+    N = 64
+    grid = csi.RectilinearGrid(size=(N, 1), topology=("periodic", "flat"))
+    model = csi.sea_ice_model(grid, ice_thermodynamics=None,
+                              advection=csi.WENO(order=5), timestepper="ForwardEuler")
+
+    def square(x, y):
+        return np.where((x > 0.25) & (x < 0.5), 1.0, 0.0)
+
+    state = csi.initial_state(model, h=square, a=1.0, u=1.0, v=0.0)
+    dt = 0.5 / N
+    for _ in range(N):
+        state = csi.step(model, state, dt)
+    c = np.asarray(grid.interior(state.h))
+    assert c.max() < 1.0 + 5e-2
+    assert c.min() > -5e-2

@@ -1,0 +1,84 @@
+"""Checkpoint/restore bit-equality — port of `test/test_checkpointing.jl`.
+
+Contract: running N+M steps in one go must be *bit-identical* to running N
+steps, checkpointing, restoring into a fresh state, and running M more.
+Exercised across {thermo-only, EVP dynamics, snow} configurations.
+"""
+
+import numpy as np
+import pytest
+
+import climaseaice_jl_tpu as csi
+from climaseaice_jl_tpu.io import save_checkpoint, load_checkpoint, restore_state
+
+
+def _configs():
+    grid2d = csi.RectilinearGrid(size=(8, 8), x=(0, 10_000), y=(0, 10_000))
+
+    def thermo_only():
+        grid = csi.RectilinearGrid(size=())
+        model = csi.sea_ice_model(grid, top_heat_flux=100.0, bottom_heat_flux=-5.0)
+        return model, csi.initial_state(model, h=1, a=1), 600.0
+
+    def with_snow():
+        grid = csi.RectilinearGrid(size=())
+        model = csi.sea_ice_model(grid, top_heat_flux=-50.0, bottom_heat_flux=-5.0,
+                                  snow_thermodynamics=csi.snow_slab_thermodynamics(),
+                                  snowfall=1e-5)
+        return model, csi.initial_state(model, h=1, a=1, hs=0.1), 600.0
+
+    def with_dynamics():
+        tau = csi.SemiImplicitStress(ue=0.1, ve=0.05)
+        dyn = csi.SeaIceMomentumEquation(rheology=csi.ElastoViscoPlasticRheology(),
+                                         bottom_momentum_stress=tau,
+                                         solver=csi.SplitExplicitSolver(substeps=8))
+        model = csi.sea_ice_model(grid2d, dynamics=dyn, advection=csi.WENO(order=5))
+        return model, csi.initial_state(model, h=1, a=1), 60.0
+
+    return {"thermo": thermo_only, "snow": with_snow, "dynamics": with_dynamics}
+
+
+@pytest.mark.parametrize("name", ["thermo", "snow", "dynamics"])
+@pytest.mark.parametrize("timestepper", ["ForwardEuler", "SplitRungeKutta3"])
+def test_checkpoint_bit_equality(name, timestepper, tmp_path):
+    make = _configs()[name]
+    model, state, dt = make()
+    model = model.evolve(timestepper=timestepper)
+
+    # Continuous run: 5 + 5 steps
+    s_cont = state
+    for _ in range(10):
+        s_cont = csi.step(model, s_cont, dt)
+
+    # Checkpointed run
+    s = state
+    for _ in range(5):
+        s = csi.step(model, s, dt)
+    ckpt = tmp_path / "checkpoint.npz"
+    save_checkpoint(str(ckpt), s)
+
+    _, fresh, _ = make()
+    fresh = restore_state(fresh, str(ckpt))
+    for _ in range(5):
+        fresh = csi.step(model, fresh, dt)
+
+    for field in ("h", "a", "u", "v", "hs", "Tu", "sig11", "sig12"):
+        c = getattr(s_cont, field)
+        r = getattr(fresh, field)
+        if c is None:
+            assert r is None
+            continue
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(r),
+                                      err_msg=f"{field} not bit-identical")
+    assert float(s_cont.clock.time) == float(fresh.clock.time)
+    assert int(s_cont.clock.iteration) == int(fresh.clock.iteration)
+
+
+def test_checkpoint_roundtrip_exact(tmp_path):
+    grid = csi.RectilinearGrid(size=(4, 4))
+    model = csi.sea_ice_model(grid)
+    state = csi.initial_state(model, h=1.2345678901234567, a=0.987654321)
+    p = save_checkpoint(str(tmp_path / "c.npz"), state)
+    restored = restore_state(state, p)
+    np.testing.assert_array_equal(np.asarray(state.h), np.asarray(restored.h))
+    np.testing.assert_array_equal(np.asarray(state.a), np.asarray(restored.a))
