@@ -1,0 +1,94 @@
+"""Benchmark: grid-points/s/chip on the EVP + advection step (the BASELINE.md
+north-star metric).
+
+Runs the flagship configuration — split-explicit αEVP (120 substeps, the
+reference's default, `split_explicit_momentum_equations.jl:31`) + WENO-7
+advection + slab thermodynamics, float32 — on the default JAX device (the
+real TPU chip under axon; CPU fallback) and prints ONE JSON line.
+
+The reference publishes no benchmark numbers (BASELINE.md), so vs_baseline
+is reported against this repo's recorded best (bench_baseline.json) when
+present, else 1.0.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build(N, substeps, dtype="float32"):
+    import climaseaice_jl_tpu as csi
+
+    km = 1000.0
+    grid = csi.RectilinearGrid(size=(N, N), x=(0, 512 * km), y=(0, 512 * km),
+                               halo=5, dtype=dtype,
+                               topology=("periodic", "periodic"))
+    dynamics = csi.SeaIceMomentumEquation(
+        rheology=csi.ElastoViscoPlasticRheology(),
+        coriolis=csi.FPlane(f=1.4e-4),
+        top_momentum_stress={"u": 0.1, "v": 0.05},
+        bottom_momentum_stress=csi.SemiImplicitStress(),
+        solver=csi.SplitExplicitSolver(substeps=substeps))
+    model = csi.sea_ice_model(
+        grid, dynamics=dynamics,
+        ice_thermodynamics=csi.sea_ice_slab_thermodynamics(),
+        top_heat_flux=-20.0, bottom_heat_flux=-5.0,
+        advection=csi.WENO(order=7), timestepper="SplitRungeKutta3")
+
+    def h0(x, y):
+        return 1.0 + 0.25 * np.sin(2 * np.pi * x / (512 * km)) * np.sin(2 * np.pi * y / (512 * km))
+
+    state = csi.initial_state(model, h=h0, a=1.0)
+    return model, state
+
+
+def main():
+    import jax
+    from climaseaice_jl_tpu.model import _step
+
+    N = int(os.environ.get("BENCH_N", 512))
+    substeps = int(os.environ.get("BENCH_SUBSTEPS", 120))
+    steps = int(os.environ.get("BENCH_STEPS", 10))
+
+    model, state = build(N, substeps)
+    step = jax.jit(lambda s, dt: _step(model, s, dt))
+
+    dt = 120.0
+    # warmup / compile
+    state = step(state, dt)
+    jax.block_until_ready(state.h)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state = step(state, dt)
+    jax.block_until_ready(state.h)
+    elapsed = time.perf_counter() - t0
+
+    pts_per_s = N * N * steps / elapsed
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_baseline.json")
+    vs = 1.0
+    if os.path.exists(baseline_path):
+        try:
+            with open(baseline_path) as f:
+                prev = json.load(f).get("value")
+            if prev:
+                vs = pts_per_s / prev
+        except Exception:
+            pass
+
+    print(json.dumps({
+        "metric": f"grid-points/s/chip (EVP{substeps}+WENO7+thermo step, {N}x{N} f32, RK3)",
+        "value": round(pts_per_s, 1),
+        "unit": "points/s",
+        "vs_baseline": round(vs, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -23,9 +23,73 @@ Default boundary conditions mirror the reference:
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .grids import Grid, PERIODIC, BOUNDED, FLAT
+
+
+def _meshed(grid: Grid, dim: int) -> bool:
+    """True when this grid is a shard and dimension ``dim`` is split across
+    the device mesh (so halo fills are ppermute exchanges)."""
+    return (grid.mesh_shape is not None and grid.mesh_shape[dim] > 1
+            and grid.mesh_axes is not None and grid.mesh_axes[dim] is not None)
+
+
+def _exchange(q, axis, axis_name, P, H, N):
+    """Ring halo exchange along array axis ``axis`` over mesh axis
+    ``axis_name``: left halo ← left neighbor's rightmost interior strip, right
+    halo ← right neighbor's leftmost.  The TPU-native replacement for the
+    reference's MPI `fill_halo_regions!` (SURVEY.md §2.4): two paired
+    `lax.ppermute` shifts riding ICI.
+    """
+    fwd = [(i, (i + 1) % P) for i in range(P)]
+    bwd = [(i, (i - 1) % P) for i in range(P)]
+    if axis == 0:
+        from_left = lax.ppermute(q[N:N + H], axis_name, fwd)
+        from_right = lax.ppermute(q[H:2 * H], axis_name, bwd)
+        return q.at[:H].set(from_left).at[H + N:].set(from_right)
+    from_left = lax.ppermute(q[:, N:N + H], axis_name, fwd)
+    from_right = lax.ppermute(q[:, H:2 * H], axis_name, bwd)
+    return q.at[:, :H].set(from_left).at[:, H + N:].set(from_right)
+
+
+def _fill_x_distributed(q, grid: Grid, face: bool):
+    H, N = grid.Hx, grid.Nx
+    P = grid.mesh_shape[0]
+    name = grid.mesh_axes[0]
+    q = _exchange(q, 0, name, P, H, N)
+    if grid.topology[0] == BOUNDED:
+        ix = lax.axis_index(name)
+        if face:
+            left_bc = jnp.zeros_like(q[:H])
+            right_bc = jnp.zeros_like(q[H + N + 1:])
+            q = q.at[:H].set(jnp.where(ix == 0, left_bc, q[:H]))
+            q = q.at[H + N + 1:].set(jnp.where(ix == P - 1, right_bc, q[H + N + 1:]))
+            # the global east wall face itself stays whatever it is (masked)
+        else:
+            q = q.at[:H].set(jnp.where(ix == 0, q[H:H + 1], q[:H]))
+            q = q.at[H + N:].set(jnp.where(ix == P - 1, q[H + N - 1:H + N], q[H + N:]))
+    return q
+
+
+def _fill_y_distributed(q, grid: Grid, face: bool):
+    H, N = grid.Hy, grid.Ny
+    P = grid.mesh_shape[1]
+    name = grid.mesh_axes[1]
+    q = _exchange(q, 1, name, P, H, N)
+    if grid.topology[1] == BOUNDED:
+        iy = lax.axis_index(name)
+        if face:
+            q = q.at[:, :H].set(jnp.where(iy == 0, jnp.zeros_like(q[:, :H]), q[:, :H]))
+            q = q.at[:, H + N + 1:].set(
+                jnp.where(iy == P - 1, jnp.zeros_like(q[:, H + N + 1:]), q[:, H + N + 1:]))
+        else:
+            q = q.at[:, :H].set(jnp.where(iy == 0, q[:, H:H + 1], q[:, :H]))
+            q = q.at[:, H + N:].set(
+                jnp.where(iy == P - 1, q[:, H + N - 1:H + N], q[:, H + N:]))
+    return q
 
 
 def _fill_x(q, grid: Grid, face: bool):
@@ -33,6 +97,8 @@ def _fill_x(q, grid: Grid, face: bool):
     topo = grid.topology[0]
     if topo == FLAT or H == 0:
         return q
+    if _meshed(grid, 0):
+        return _fill_x_distributed(q, grid, face)
     if topo == PERIODIC:
         q = q.at[:H].set(q[N:N + H])
         q = q.at[H + N:].set(q[H:2 * H])
@@ -51,6 +117,8 @@ def _fill_y(q, grid: Grid, face: bool):
     topo = grid.topology[1]
     if topo == FLAT or H == 0:
         return q
+    if _meshed(grid, 1):
+        return _fill_y_distributed(q, grid, face)
     if topo == PERIODIC:
         q = q.at[:, :H].set(q[:, N:N + H])
         q = q.at[:, H + N:].set(q[:, H:2 * H])

@@ -50,6 +50,14 @@ class Grid:
     dtype: str = static_field()
     kind: str = static_field(default="rectilinear")  # rectilinear | latlon
 
+    # --- distributed shard info (None on serial grids) ------------------------
+    # When set, this Grid describes ONE shard of a global domain inside a
+    # shard_map: halo fills along a meshed direction become ppermute exchanges,
+    # with physical BCs applied only at the global-domain edges
+    # (see parallel/stepper.py).  mesh_axes: axis names; mesh_shape: (Px, Py).
+    mesh_axes: tuple = static_field(default=None)
+    mesh_shape: tuple = static_field(default=None)
+
     # --- coordinates (padded 1-D arrays) -------------------------------------
     xc: object = None  # (nxp,) cell-center x (or longitude, degrees)
     xf: object = None  # (nxp,) x-face positions

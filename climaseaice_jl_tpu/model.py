@@ -165,7 +165,7 @@ def initial_state(model: SeaIceModel, h=0.0, a=0.0, hs=0.0, u=0.0, v=0.0,
         mf_ice=grid.new_field(), mf_snow=grid.new_field(),
         mf_snowfall=grid.new_field(),
         Qtop=grid.new_field(), Qbot=grid.new_field(),
-        clock=Clock(time=jnp.asarray(time, dt_), iteration=jnp.asarray(0, "int64")),
+        clock=Clock(time=jnp.asarray(time, dt_), iteration=jnp.asarray(0, "int32")),
     )
 
     dyn = model.dynamics

@@ -1,0 +1,247 @@
+"""SPMD distributed stepping over a 2-D device mesh.
+
+TPU-native replacement for the reference's MPI domain decomposition
+(`Distributed(CPU(), partition=Partition(Px, Py))`, SURVEY.md §2.4): the
+global state is sharded over a ``jax.sharding.Mesh``; inside ``shard_map``
+each device holds its local tile padded with halos, runs the *same* serial
+step code, and every halo fill along a meshed direction becomes a pair of
+``lax.ppermute`` shifts (see ``fields._exchange``).  Physical boundary
+conditions apply only on shards at the global domain edge, selected by
+``lax.axis_index``.
+
+Correctness contract (ported to `tests/test_distributed.py`): the distributed
+step reproduces the serial step allclose on u, v, h, ℵ after 20 EVP steps for
+partitions (1,4), (4,1), (2,2) (`test/distributed_tests_utils.jl:60-88`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map as _shard_map_old
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map_old(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+from ..grids import BOUNDED, PERIODIC, FLAT
+from ..model import Masks, update_state, _step
+from ..fields import (fill_halos_cc, fill_halos_fc, fill_halos_cf, fill_halos_ff)
+
+
+# location of each named state field on the staggered grid
+_STATE_LOCS = {
+    "h": "cc", "a": "cc", "hs": "cc", "S": "cc", "Tu": "cc", "Tus": "cc",
+    "u": "fc", "un": "fc", "v": "cf", "vn": "cf",
+    "sig11": "cc", "sig22": "cc", "sig12": "ff",
+    "alpha": "cc", "P": "cc", "Delta": "cc", "zeta_cc": "cc", "zeta_ff": "ff",
+    "mf_ice": "cc", "mf_snow": "cc", "mf_snowfall": "cc",
+    "Qtop": "cc", "Qbot": "cc",
+}
+
+_FILLERS = {"cc": fill_halos_cc, "fc": fill_halos_fc,
+            "cf": fill_halos_cf, "ff": fill_halos_ff}
+
+
+def make_mesh(mesh_shape, devices=None):
+    Px, Py = mesh_shape
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < Px * Py:
+        raise ValueError(f"need {Px * Py} devices, have {len(devices)}")
+    return Mesh(np.array(devices[:Px * Py]).reshape(Px, Py), ("x", "y"))
+
+
+def _strip(grid, q):
+    return grid.interior(q)
+
+
+def _shape_is_grid(grid, q):
+    return hasattr(q, "shape") and getattr(q, "shape", None) == grid.shape
+
+
+def _local_grid(grid, nx, ny, ix, iy, axes, mesh_shape):
+    """Build the per-shard Grid: local sizes, sliced coordinates/metrics, and
+    mesh info that turns halo fills into ppermute exchanges."""
+    Hx, Hy = grid.Hx, grid.Hy
+
+    def slice_x(c):
+        return lax.dynamic_slice(c, (ix * nx,), (nx + 2 * Hx,))
+
+    def slice_y(c):
+        return lax.dynamic_slice(c, (iy * ny,), (ny + 2 * Hy,))
+
+    def slice_metric(m):
+        if getattr(m, "ndim", 0) == 2:  # (1, nyp) latitude-dependent row
+            return lax.dynamic_slice(m, (0, iy * ny), (1, ny + 2 * Hy))
+        return m
+
+    return grid.evolve(
+        Nx=nx, Ny=ny,
+        mesh_axes=axes, mesh_shape=mesh_shape,
+        xc=slice_x(grid.xc), xf=slice_x(grid.xf),
+        yc=slice_y(grid.yc), yf=slice_y(grid.yf),
+        dx_cc=slice_metric(grid.dx_cc), dx_fc=slice_metric(grid.dx_fc),
+        dx_cf=slice_metric(grid.dx_cf), dx_ff=slice_metric(grid.dx_ff),
+        dy_cc=slice_metric(grid.dy_cc), dy_fc=slice_metric(grid.dy_fc),
+        dy_cf=slice_metric(grid.dy_cf), dy_ff=slice_metric(grid.dy_ff),
+        az_cc=slice_metric(grid.az_cc), az_fc=slice_metric(grid.az_fc),
+        az_cf=slice_metric(grid.az_cf), az_ff=slice_metric(grid.az_ff),
+        solid_cc=None,  # reattached (exchanged) by _local_masks
+    )
+
+
+def _local_solid(lgrid, solid_int, ix, iy):
+    """Padded local solid mask: exchanged across shards, True outside bounded
+    global walls (traced analog of fields._solid_base + _extend_mask)."""
+    Hx, Hy = lgrid.Hx, lgrid.Hy
+    nx, ny = lgrid.Nx, lgrid.Ny
+    dt_ = lgrid.np_dtype
+
+    if solid_int is not None:
+        s = jnp.zeros(lgrid.shape, dt_)
+        s = s.at[Hx:Hx + nx, Hy:Hy + ny].set(solid_int.astype(dt_))
+        s = fill_halos_cc(s, lgrid)  # exchange + zero-gradient at walls
+        solid = s > 0.5
+    else:
+        solid = jnp.zeros(lgrid.shape, bool)
+
+    col = jnp.arange(lgrid.nxp)[:, None]
+    row = jnp.arange(lgrid.nyp)[None, :]
+    Px, Py = lgrid.mesh_shape
+    if lgrid.topology[0] == BOUNDED and Hx > 0:
+        solid = solid | ((ix == 0) & (col < Hx)) | ((ix == Px - 1) & (col >= Hx + nx))
+    if lgrid.topology[1] == BOUNDED and Hy > 0:
+        solid = solid | ((iy == 0) & (row < Hy)) | ((iy == Py - 1) & (row >= Hy + ny))
+    return solid
+
+
+def _local_masks(lgrid, solid_int, ix, iy, immersed):
+    s = _local_solid(lgrid, solid_int, ix, iy)
+    sx = jnp.roll(s, 1, 0)
+    sy = jnp.roll(s, 1, 1)
+    sxy = jnp.roll(sx, 1, 1)
+    per_fc = s | sx
+    per_cf = s | sy
+    per_ff = s | sx | sy | sxy
+    return Masks(solid_cc=s if immersed else None,
+                 per_fc=per_fc, per_cf=per_cf, per_ff=per_ff)
+
+
+def _pad_state(state, lgrid):
+    """Pad interior-only leaves back to halo-inclusive local arrays and fill
+    every halo (one exchange round) before stepping."""
+    Hx, Hy = lgrid.Hx, lgrid.Hy
+
+    def pad(name, q):
+        if q is None:
+            return None
+        full = jnp.zeros(lgrid.shape, q.dtype)
+        full = full.at[Hx:Hx + lgrid.Nx, Hy:Hy + lgrid.Ny].set(q)
+        return _FILLERS[_STATE_LOCS.get(name, "cc")](full, lgrid)
+
+    upd = {name: pad(name, getattr(state, name)) for name in _STATE_LOCS}
+    if state.tracers:
+        upd["tracers"] = {k: pad("h", v) for k, v in state.tracers.items()}
+    return state.evolve(**upd)
+
+
+def _strip_state(state, lgrid):
+    upd = {}
+    for name in _STATE_LOCS:
+        q = getattr(state, name)
+        if q is not None:
+            upd[name] = lgrid.interior(q)
+    if state.tracers:
+        upd["tracers"] = {k: lgrid.interior(v) for k, v in state.tracers.items()}
+    return state.evolve(**upd)
+
+
+def strip_halos(model, state):
+    """Global padded state → interior-only state (the sharded representation)."""
+    return _strip_state(state, model.grid)
+
+
+def unstrip_halos(model, state_int):
+    """Interior-only state → global padded state with fresh halos."""
+    grid = model.grid
+    Hx, Hy = grid.Hx, grid.Hy
+
+    def pad(name, q):
+        if q is None:
+            return None
+        full = jnp.zeros(grid.shape, q.dtype)
+        full = full.at[Hx:Hx + grid.Nx, Hy:Hy + grid.Ny].set(q)
+        return _FILLERS[_STATE_LOCS.get(name, "cc")](full, grid)
+
+    upd = {name: pad(name, getattr(state_int, name)) for name in _STATE_LOCS}
+    if state_int.tracers:
+        upd["tracers"] = {k: pad("h", v) for k, v in state_int.tracers.items()}
+    return state_int.evolve(**upd)
+
+
+def _check_model_shardable(model):
+    grid = model.grid
+    skip = {id(l) for l in jax.tree_util.tree_leaves((grid, model.masks))}
+    for leaf in jax.tree_util.tree_leaves(model):
+        if id(leaf) in skip:
+            continue
+        if _shape_is_grid(grid, leaf):
+            raise NotImplementedError(
+                "distributed stepping currently requires scalar (or callable) "
+                "model inputs; got a grid-shaped model array — pass it via "
+                "state.tracers or a callable forcing instead")
+
+
+def make_distributed_step(model, mesh_shape, devices=None):
+    """Build a jitted distributed step: ``dstep(state_interior, dt) ->
+    state_interior`` with every 2-D leaf sharded over the mesh.
+
+    Use :func:`strip_halos` / :func:`unstrip_halos` to convert to/from the
+    serial padded representation.
+    """
+    grid = model.grid
+    _check_model_shardable(model)
+    Px, Py = mesh_shape
+    if grid.Nx % Px or grid.Ny % Py:
+        raise ValueError(f"grid {grid.Nx}x{grid.Ny} not divisible by mesh {mesh_shape}")
+    nx, ny = grid.Nx // Px, grid.Ny // Py
+    mesh = make_mesh(mesh_shape, devices)
+    axes = ("x" if Px > 1 else None, "y" if Py > 1 else None)
+
+    immersed = grid.solid_cc is not None
+    solid_int_global = (np.asarray(grid.interior(grid.solid_cc))
+                        if immersed else np.zeros(grid.interior_shape, bool))
+
+    def local_step(state_int, solid_int, dt):
+        ix = lax.axis_index("x") if Px > 1 else 0
+        iy = lax.axis_index("y") if Py > 1 else 0
+        lgrid = _local_grid(grid, nx, ny, ix, iy, axes, (Px, Py))
+        lmasks = _local_masks(lgrid, solid_int, ix, iy, immersed)
+        lgrid = lgrid.evolve(solid_cc=lmasks.solid_cc)
+        lmodel = model.evolve(grid=lgrid, masks=lmasks)
+        lstate = _pad_state(state_int, lgrid)
+        lstate = update_state(lmodel, lstate)
+        out = _step(lmodel, lstate, dt)
+        return _strip_state(out, lgrid)
+
+    def spec_of(tree):
+        return jax.tree_util.tree_map(
+            lambda l: P("x", "y") if getattr(l, "ndim", 0) == 2 else P(), tree)
+
+    def dstep(state_int, dt):
+        in_specs = (spec_of(state_int), P("x", "y"), P())
+        out_specs = spec_of(state_int)
+        f = shard_map(local_step, mesh, in_specs=in_specs, out_specs=out_specs)
+        return f(state_int, solid_int_global, jnp.asarray(dt, grid.np_dtype))
+
+    return jax.jit(dstep), mesh
