@@ -49,7 +49,7 @@ def main():
     import jax
     from climaseaice_jl_tpu.model import _step
 
-    N = int(os.environ.get("BENCH_N", 512))
+    N = int(os.environ.get("BENCH_N", 256))
     substeps = int(os.environ.get("BENCH_SUBSTEPS", 120))
     steps = int(os.environ.get("BENCH_STEPS", 10))
 
@@ -82,7 +82,7 @@ def main():
             pass
 
     print(json.dumps({
-        "metric": f"grid-points/s/chip (EVP{substeps}+WENO7+thermo step, {N}x{N} f32, RK3)",
+        "metric": f"grid-points/s/chip (EVP{substeps}+WENO7+thermo step, {N}x{N} f32, RK3, fused-VMEM EVP)",
         "value": round(pts_per_s, 1),
         "unit": "points/s",
         "vs_baseline": round(vs, 3),

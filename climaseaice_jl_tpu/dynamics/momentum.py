@@ -43,8 +43,14 @@ class ExplicitSolver:
 
 @dataclasses.dataclass(frozen=True)
 class SplitExplicitSolver:
-    """N pseudo-time substeps per step (`split_explicit_momentum_equations.jl:18-34`)."""
+    """N pseudo-time substeps per step (`split_explicit_momentum_equations.jl:18-34`).
+
+    ``fused``: 'auto' uses the VMEM-resident Pallas substep-loop kernel when
+    the configuration supports it and the backend is TPU; 'always' forces it
+    (interpret mode off-TPU, for testing); 'never' keeps the jnp path.
+    """
     substeps: int = 120
+    fused: str = "auto"
 
 
 @pytree_dataclass

@@ -1,0 +1,397 @@
+"""Fused Pallas TPU kernel for the split-explicit αEVP substep loop.
+
+The reference's hot loop is ~2·substeps tiny kernel launches per outer step
+(`split_explicit_momentum_equations.jl:150-189`); the jnp path already fuses
+each substep, but every substep still round-trips ~20 arrays through HBM.
+This kernel keeps the whole EVP state (u, v, σ₁₁, σ₂₂, σ₁₂, α) *resident in
+VMEM across all substeps* — HBM is touched exactly twice (load constants +
+initial state, store final state), making the loop compute-bound instead of
+bandwidth-bound (SURVEY.md §7 "hard parts" #1).
+
+Supported fast-path configuration (checked by :func:`fused_available`):
+uniform rectilinear doubly-periodic grid (shifts are exact `pltpu.roll`
+circular shifts on interior-only arrays — no halos at all), float32, αEVP
+rheology, FPlane/no coriolis, scalar (or zero) top stress, SemiImplicitStress
+bottom stress with scalar external velocities, no free drift, no user
+forcing, single device.  Everything else falls back to the general jnp path.
+
+Uniform-metric simplifications used (algebraically exact on uniform grids):
+
+    ϵ̇₁₁ = δxᶜu/Δx          ϵ̇₂₂ = δyᶜv/Δy       ϵ̇₁₂ = (δyᶠu/Δy + δxᶠv/Δx)/2
+    ∂ⱼσ₁ⱼ = δxᶠσ₁₁/Δx + δyᶜσ₁₂/Δy
+    ∂ⱼσ₂ⱼ = δyᶠσ₂₂/Δy + δxᶜσ₁₂/Δx
+    EVP forcing (uⁿ−u)/Δτ/ᾱ with Δτ = Δt/ᾱ  ≡  (uⁿ−u)/Δt
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..grids import PERIODIC
+from ..ops import ixf, iyf, ixy_ff
+from .rheologies import ElastoViscoPlasticRheology, ice_strength
+from .stresses import SemiImplicitStress
+
+# params vector layout (SMEM)
+_P_DT, _P_DX, _P_DY, _P_F, _P_TAUU, _P_TAUV, _P_RC, _P_UE, _P_VE, \
+    _P_EINV2, _P_AMIN, _P_AMAX, _P_CALPHA, _P_DMIN, _P_MASSMIN, _P_CONCMIN, \
+    _P_REPL, _P_NPARAMS = range(18)
+
+# VMEM budget: 6 carry + 12 constant arrays + temporaries
+_MAX_POINTS = 65_536  # ≤256² f32: resident arrays + temporaries fit 16 MB VMEM (320² spills)
+
+
+def _scalar(x):
+    return x is None or np.ndim(x) == 0
+
+
+def fused_available(model):
+    """True when the model matches the Pallas fast-path configuration."""
+    from .momentum import SplitExplicitSolver
+    from .coriolis import FPlane
+
+    grid = model.grid
+    dyn = model.dynamics
+    if dyn is None or not isinstance(dyn.rheology, ElastoViscoPlasticRheology):
+        return False
+    if not isinstance(dyn.solver, SplitExplicitSolver):
+        return False
+    if grid.kind != "rectilinear" or grid.topology != (PERIODIC, PERIODIC):
+        return False
+    if grid.mesh_axes is not None or grid.is_immersed:
+        return False
+    if grid.np_dtype != np.dtype("float32"):
+        return False
+    if grid.Nx * grid.Ny > _MAX_POINTS:
+        return False
+    if grid.Nx % 8 or grid.Ny % 128:
+        return False
+    # metrics must be uniform scalars
+    if not all(_scalar(m) or np.ndim(np.asarray(m)) == 0
+               for m in (grid.dx_cc, grid.dy_cc)):
+        return False
+
+    top = dyn.top_momentum_stress
+    if isinstance(top, dict):
+        if not (_scalar(top.get("u")) and _scalar(top.get("v"))):
+            return False
+    elif top is not None and not _scalar(top):
+        return False
+    bottom = dyn.bottom_momentum_stress
+    if bottom is not None and not isinstance(bottom, SemiImplicitStress):
+        return False
+    if isinstance(bottom, SemiImplicitStress):
+        if not (_scalar(bottom.ue) and _scalar(bottom.ve)):
+            return False
+    if dyn.coriolis is not None and not isinstance(dyn.coriolis, FPlane):
+        return False
+    if dyn.free_drift is not None:
+        return False
+    if model.forcing:
+        return False
+    return True
+
+
+def _evp_kernel(nsub, params_ref,
+                P_ref, Pff_ref, gcc_ref, gff_ref,
+                drag_u_ref, invm_u_ref, act_u_ref, un_ref,
+                drag_v_ref, invm_v_ref, act_v_ref, vn_ref,
+                u_ref, v_ref, s11_ref, s22_ref, s12_ref, al_ref,
+                o_u_ref, o_v_ref, o_s11_ref, o_s22_ref, o_s12_ref, o_al_ref):
+    p = params_ref
+    dt = p[_P_DT]
+    inv_dx = 1.0 / p[_P_DX]
+    inv_dy = 1.0 / p[_P_DY]
+    f_cor = p[_P_F]
+    tau_u_top = p[_P_TAUU]
+    tau_v_top = p[_P_TAUV]
+    rC = p[_P_RC]          # ρₑ·Cᴰ of the bottom SemiImplicitStress
+    ue = p[_P_UE]
+    ve = p[_P_VE]
+    e_inv2 = p[_P_EINV2]
+    a_min = p[_P_AMIN]
+    a_max = p[_P_AMAX]
+    c_alpha = p[_P_CALPHA]
+    d_min = p[_P_DMIN]
+    repl = p[_P_REPL]      # 1.0 → replacement pressure
+
+    P = P_ref[:]
+    Pff = Pff_ref[:]
+    gcc = gcc_ref[:]       # cα·Δt/(m·Az) at cc, < 0 where m ≤ 0
+    gff = gff_ref[:]
+    drag_u = drag_u_ref[:]     # a_fc/m_fc (0 where m ≤ 0)
+    invm_u = invm_u_ref[:]
+    act_u = act_u_ref[:]       # active-ice mask at (f,c) as f32
+    un = un_ref[:]
+    drag_v = drag_v_ref[:]
+    invm_v = invm_v_ref[:]
+    act_v = act_v_ref[:]
+    vn = vn_ref[:]
+
+    roll = pltpu.roll
+
+    def sp(q, axis):   # q[I-1]
+        return roll(q, 1, axis)
+
+    def sm(q, axis):   # q[I+1]  (pltpu.roll needs a non-negative shift)
+        return roll(q, q.shape[axis] - 1, axis)
+
+    def ixf_(q):
+        return 0.5 * (q + sp(q, 0))
+
+    def iyf_(q):
+        return 0.5 * (q + sp(q, 1))
+
+    def ixc_(q):
+        return 0.5 * (q + sm(q, 0))
+
+    def iyc_(q):
+        return 0.5 * (q + sm(q, 1))
+
+    def stresses(u, v, s11, s22, s12):
+        e11 = (sm(u, 0) - u) * inv_dx
+        e22 = (sm(v, 1) - v) * inv_dy
+        e12 = 0.5 * ((u - sp(u, 1)) * inv_dy + (v - sp(v, 0)) * inv_dx)
+
+        e11f = ixf_(iyf_(e11))
+        e22f = ixf_(iyf_(e22))
+        e12c = ixc_(iyc_(e12))
+
+        d_cc = e11 + e22
+        d_ff = e11f + e22f
+        s_cc2 = (e11 - e22) ** 2 + 4 * e12c ** 2
+        s_ff2 = (e11f - e22f) ** 2 + 4 * e12 ** 2
+
+        Dcc = jnp.maximum(jnp.sqrt(d_cc ** 2 + s_cc2 * e_inv2), d_min)
+        Dff = jnp.maximum(jnp.sqrt(d_ff ** 2 + s_ff2 * e_inv2), d_min)
+        zcc = P / (2 * Dcc)
+        zff = Pff / (2 * Dff)
+
+        Pr = jnp.where(repl > 0, P * Dcc / (Dcc + d_min), P)
+
+        eta_cc = zcc * e_inv2
+        eta_ff = zff * e_inv2
+        iso = (zcc - eta_cc) * d_cc - Pr * 0.5
+        s11_t = 2 * eta_cc * e11 + iso
+        s22_t = 2 * eta_cc * e22 + iso
+        s12_t = 2 * eta_ff * e12
+
+        # dynamic relaxation γ = clamp(√(ζ·cαΔt/m/Az)), α⁺ where m ≤ 0
+        g2cc = zcc * gcc
+        g2ff = zff * gff
+        gamma_cc = jnp.where(gcc > 0,
+                             jnp.clip(jnp.sqrt(jnp.abs(g2cc)), a_min, a_max),
+                             a_max)
+        gamma_ff = jnp.where(gff > 0,
+                             jnp.clip(jnp.sqrt(jnp.abs(g2ff)), a_min, a_max),
+                             a_max)
+
+        ok_cc = gcc > 0
+        ok_ff = gff > 0
+        s11 = s11 + jnp.where(ok_cc, (s11_t - s11) / gamma_cc, 0.0)
+        s22 = s22 + jnp.where(ok_cc, (s22_t - s22) / gamma_cc, 0.0)
+        s12 = s12 + jnp.where(ok_ff, (s12_t - s12) / gamma_ff, 0.0)
+        return s11, s22, s12, gamma_cc
+
+    def u_update(u, v, s11, s12, alpha):
+        div_x = (s11 - sp(s11, 0)) * inv_dx + (sm(s12, 1) - s12) * inv_dy
+        v_fc = ixf_(iyc_(v))
+        du = ue - u
+        dv = ve - v_fc
+        speed = jnp.sqrt(du * du + dv * dv)
+        tau_bx = rC * speed * ue
+        tau_i = rC * speed * drag_u        # implicit drag · a/m
+
+        Gu = (f_cor * v_fc
+              - tau_u_top * drag_u
+              + tau_bx * drag_u
+              + div_x * invm_u
+              + (un - u) / dt)
+        Gu = jnp.where(invm_u > 0, Gu, 0.0)
+        dtau = dt / ixf_(alpha)
+        uD = (u + dtau * Gu) / (1 + dtau * tau_i)
+        return uD * act_u
+
+    def v_update(u, v, s22, s12, alpha):
+        div_y = (s22 - sp(s22, 1)) * inv_dy + (sm(s12, 0) - s12) * inv_dx
+        u_cf = ixc_(iyf_(u))
+        dv = ve - v
+        du = ue - u_cf
+        speed = jnp.sqrt(du * du + dv * dv)
+        tau_by = rC * speed * ve
+        tau_i = rC * speed * drag_v
+
+        Gv = (-f_cor * u_cf
+              - tau_v_top * drag_v
+              + tau_by * drag_v
+              + div_y * invm_v
+              + (vn - v) / dt)
+        Gv = jnp.where(invm_v > 0, Gv, 0.0)
+        dtau = dt / iyf_(alpha)
+        vD = (v + dtau * Gv) / (1 + dtau * tau_i)
+        return vD * act_v
+
+    def body(i, carry):
+        u, v, s11, s22, s12, alpha = carry
+        s11, s22, s12, alpha = stresses(u, v, s11, s22, s12)
+        substep = i + 1
+
+        def even_order(uv):
+            u, v = uv
+            u2 = u_update(u, v, s11, s12, alpha)
+            v2 = v_update(u2, v, s22, s12, alpha)
+            return u2, v2
+
+        def odd_order(uv):
+            u, v = uv
+            v2 = v_update(u, v, s22, s12, alpha)
+            u2 = u_update(u, v2, s11, s12, alpha)
+            return u2, v2
+
+        u, v = lax.cond(substep % 2 == 0, even_order, odd_order, (u, v))
+        return (u, v, s11, s22, s12, alpha)
+
+    init = (u_ref[:], v_ref[:], s11_ref[:], s22_ref[:], s12_ref[:], al_ref[:])
+    u, v, s11, s22, s12, alpha = lax.fori_loop(0, nsub, body, init)
+
+    o_u_ref[:] = u
+    o_v_ref[:] = v
+    o_s11_ref[:] = s11
+    o_s22_ref[:] = s22
+    o_s12_ref[:] = s12
+    o_al_ref[:] = alpha
+
+
+def fused_split_explicit_momentum_step(model, state, dt, u_start, v_start,
+                                       interpret=False):
+    """Run the full substep loop in one pallas_call; returns the same update
+    dict as the jnp `split_explicit_momentum_step`."""
+    from ..fields import fill_halos_cc, fill_halos_fc, fill_halos_cf, fill_halos_ff
+
+    grid = model.grid
+    dyn = model.dynamics
+    rheo = dyn.rheology
+    nsub = dyn.solver.substeps
+    dt = jnp.asarray(dt, jnp.float32)
+    I = grid.interior
+
+    h, a = state.h, state.a
+    rho = jnp.asarray(model.sea_ice_density, jnp.float32)
+    dx = jnp.asarray(grid.dx_cc, jnp.float32)
+    dy = jnp.asarray(grid.dy_cc, jnp.float32)
+    az = dx * dy
+
+    # --- constants on padded arrays (correct halos), then cropped ------------
+    P_pad = ice_strength(rheo, h, a)
+    Pff_pad = ixy_ff(P_pad)
+    m_cc = h * a * rho
+    m_ff = ixy_ff(m_cc)
+    m_fc = ixf(m_cc)
+    a_fc = ixf(a)
+    m_cf = iyf(m_cc)
+    a_cf = iyf(a)
+
+    def inv0(x):
+        ok = x > 0
+        return jnp.where(ok, 1.0 / jnp.where(ok, x, 1.0), 0.0)
+
+    # γ² coefficient with the m ≤ 0 sentinel (negative)
+    gcc_pad = jnp.where(m_cc > 0,
+                        rheo.relaxation_strength * dt / (jnp.where(m_cc > 0, m_cc, 1.0) * az),
+                        -1.0)
+    gff_pad = jnp.where(m_ff > 0,
+                        rheo.relaxation_strength * dt / (jnp.where(m_ff > 0, m_ff, 1.0) * az),
+                        -1.0)
+
+    invm_u_pad = inv0(m_fc)
+    drag_u_pad = invm_u_pad * a_fc
+    invm_v_pad = inv0(m_cf)
+    drag_v_pad = invm_v_pad * a_cf
+
+    eps_ = jnp.finfo(jnp.float32).eps
+    act_u_pad = ((m_fc >= dyn.minimum_mass) & (a_fc >= dyn.minimum_concentration)
+                 ).astype(jnp.float32)
+    act_v_pad = ((m_cf >= dyn.minimum_mass) & (a_cf >= dyn.minimum_concentration)
+                 ).astype(jnp.float32)
+    del eps_
+
+    def _f32(x):
+        return jnp.asarray(0.0 if x is None else x, jnp.float32)
+
+    top = dyn.top_momentum_stress
+    if isinstance(top, dict):
+        tau_u_top = _f32(top.get("u"))
+        tau_v_top = _f32(top.get("v"))
+    else:
+        tau_u_top = _f32(top)
+        tau_v_top = tau_u_top
+    bottom = dyn.bottom_momentum_stress
+    if isinstance(bottom, SemiImplicitStress):
+        rC = jnp.asarray(bottom.rho_e * bottom.Cd, jnp.float32)
+        ue = jnp.asarray(bottom.ue, jnp.float32)
+        ve = jnp.asarray(bottom.ve, jnp.float32)
+    else:
+        rC = jnp.zeros((), jnp.float32)
+        ue = jnp.zeros((), jnp.float32)
+        ve = jnp.zeros((), jnp.float32)
+    f_cor = jnp.asarray(dyn.coriolis.f if dyn.coriolis is not None else 0.0,
+                        jnp.float32)
+
+    params = jnp.stack([
+        dt, dx, dy, f_cor, tau_u_top, tau_v_top, rC, ue, ve,
+        jnp.asarray(rheo.yield_curve_eccentricity, jnp.float32) ** -2.0,
+        jnp.asarray(rheo.min_relaxation_parameter, jnp.float32),
+        jnp.asarray(rheo.max_relaxation_parameter, jnp.float32),
+        jnp.asarray(rheo.relaxation_strength, jnp.float32),
+        jnp.asarray(rheo.minimum_plastic_stress, jnp.float32),
+        jnp.asarray(dyn.minimum_mass, jnp.float32),
+        jnp.asarray(dyn.minimum_concentration, jnp.float32),
+        jnp.ones((), jnp.float32) if rheo.pressure_formulation == "replacement"
+        else jnp.zeros((), jnp.float32),
+        jnp.zeros((), jnp.float32),
+    ])
+
+    consts = [I(q) for q in (P_pad, Pff_pad, gcc_pad, gff_pad,
+                             drag_u_pad, invm_u_pad, act_u_pad, u_start,
+                             drag_v_pad, invm_v_pad, act_v_pad, v_start)]
+    carry_in = [I(q) for q in (u_start, v_start, state.sig11, state.sig22,
+                               state.sig12, state.alpha)]
+
+    shape = carry_in[0].shape
+    out_shape = [jax.ShapeDtypeStruct(shape, jnp.float32)] * 6
+
+    n_in = 1 + len(consts) + len(carry_in)
+    kernel = functools.partial(_evp_kernel, nsub)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(consts) + len(carry_in)),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        input_output_aliases={n_in - 6 + k: k for k in range(6)},
+        interpret=interpret,
+    )(params, *consts, *carry_in)
+
+    u_i, v_i, s11_i, s22_i, s12_i, al_i = outs
+
+    def repad(name_filler, q_int, old):
+        q = old.at[grid.Hx:grid.Hx + grid.Nx, grid.Hy:grid.Hy + grid.Ny].set(q_int)
+        return name_filler(q, grid)
+
+    u = repad(fill_halos_fc, u_i, state.u)
+    v = repad(fill_halos_cf, v_i, state.v)
+    s11 = repad(fill_halos_cc, s11_i, state.sig11)
+    s22 = repad(fill_halos_cc, s22_i, state.sig22)
+    s12 = repad(fill_halos_ff, s12_i, state.sig12)
+    alpha = repad(fill_halos_cc, al_i, state.alpha)
+
+    return dict(u=u, v=v, sig11=s11, sig22=s22, sig12=s12, alpha=alpha,
+                P=P_pad, un=u_start, vn=v_start,
+                Delta=state.Delta, zeta_cc=state.zeta_cc, zeta_ff=state.zeta_ff)

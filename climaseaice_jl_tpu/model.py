@@ -319,6 +319,15 @@ def momentum_step(model, state, dt, u_prev=None, v_prev=None):
         u, v = explicit_momentum_step(model, state, f, dt, u_start, v_start)
         return state.evolve(u=u, v=v)
     if isinstance(dyn.solver, SplitExplicitSolver):
+        fused_mode = getattr(dyn.solver, "fused", "auto")
+        if fused_mode != "never":
+            from .dynamics.pallas_evp import (fused_available,
+                                              fused_split_explicit_momentum_step)
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            if fused_available(model) and (fused_mode == "always" or on_tpu):
+                upd = fused_split_explicit_momentum_step(
+                    model, state, dt, u_start, v_start, interpret=not on_tpu)
+                return state.evolve(**upd)
         upd = split_explicit_momentum_step(model, state, dt, u_start, v_start)
         return state.evolve(**upd)
     raise TypeError(f"unsupported solver {dyn.solver!r}")
