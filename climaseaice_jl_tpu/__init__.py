@@ -28,6 +28,7 @@ from .thermodynamics import (LinearLiquidus, PhaseTransitions, melting_temperatu
                              sea_ice_slab_thermodynamics, snow_slab_thermodynamics)
 from .dynamics import (FPlane, BetaPlane, SemiImplicitStress, StressBalanceFreeDrift,
                        ViscousRheology, ElastoViscoPlasticRheology,
-                       SeaIceMomentumEquation, ExplicitSolver, SplitExplicitSolver)
+                       SeaIceMomentumEquation, ExplicitSolver, SplitExplicitSolver,
+                       ImmersedDrag)
 
 __version__ = "0.1.0"

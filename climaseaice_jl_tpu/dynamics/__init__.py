@@ -2,10 +2,10 @@ from .coriolis import FPlane, BetaPlane
 from .stresses import SemiImplicitStress
 from .free_drift import StressBalanceFreeDrift
 from .rheologies import ViscousRheology, ElastoViscoPlasticRheology
-from .momentum import SeaIceMomentumEquation, ExplicitSolver, SplitExplicitSolver
+from .momentum import SeaIceMomentumEquation, ExplicitSolver, SplitExplicitSolver, ImmersedDrag
 
 __all__ = [
     "FPlane", "BetaPlane", "SemiImplicitStress", "StressBalanceFreeDrift",
     "ViscousRheology", "ElastoViscoPlasticRheology",
-    "SeaIceMomentumEquation", "ExplicitSolver", "SplitExplicitSolver",
+    "SeaIceMomentumEquation", "ExplicitSolver", "SplitExplicitSolver", "ImmersedDrag",
 ]

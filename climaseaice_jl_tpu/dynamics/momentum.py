@@ -54,6 +54,15 @@ class SplitExplicitSolver:
 
 
 @pytree_dataclass
+class ImmersedDrag:
+    """Linear drag flux −C·u through faces adjacent to immersed cells —
+    vectorized analog of the reference coastline example's immersed
+    FluxBoundaryConditions (`examples/ice_advected_on_coastline.jl`,
+    `ice_stress_divergence.jl:65-123`)."""
+    coefficient: object = 3e-3
+
+
+@pytree_dataclass
 class SeaIceMomentumEquation:
     """Dynamics container (`sea_ice_momentum_equations.jl:3-12,67-94`)."""
     rheology: object = None
@@ -62,6 +71,7 @@ class SeaIceMomentumEquation:
     top_momentum_stress: object = None
     bottom_momentum_stress: object = None
     free_drift: object = None
+    immersed_drag: object = None     # ImmersedDrag | None
     minimum_concentration: object = 1e-3
     minimum_mass: object = 1.0   # kg m⁻²
 
@@ -75,7 +85,7 @@ def _inv(x, ok):
 
 
 def _user_forcing(model, comp, grid, clock, fields):
-    f = (model.forcing or {}).get(comp)
+    f = model.forcing_dict().get(comp)
     if f is None:
         return jnp.zeros(grid.shape, grid.np_dtype)
     return f(grid, clock, fields)
@@ -116,6 +126,29 @@ def velocity_tendencies(model, dyn, grid, dt, fields, clock):
           + explicit_tau_y(grid, bottom, clock, fields) * inv_m_cf * a_cf
           + div_y * inv_m_cf
           + Fv)
+
+    if dyn.immersed_drag is not None and masks.per_ff is not None:
+        # immersed_∂ⱼσᵢⱼ with flux BC q̃ = −C·u on faces whose ff node is
+        # immersed (`ice_stress_divergence.jl:65-101,116-123`)
+        from ..ops import shift_m
+        C = dyn.immersed_drag.coefficient
+        per_ff = masks.per_ff
+        per_fc = masks.per_fc
+        per_cf = masks.per_cf
+        n_face = shift_m(per_ff, 1) & ~per_fc   # north ff node of the u point
+        s_face = per_ff & ~per_fc
+        e_face = shift_m(per_ff, 0) & ~per_cf
+        w_face = per_ff & ~per_cf
+        bc_u = -C * fields.u
+        bc_v = -C * fields.v
+        dx_ff = jnp.broadcast_to(grid.dx_ff, grid.shape)
+        dy_ff = jnp.broadcast_to(grid.dy_ff, grid.shape)
+        imm_x = bc_u * (jnp.where(shift_m(per_ff, 1) & ~per_fc, shift_m(dx_ff, 1), 0.0)
+                        + jnp.where(s_face, dx_ff, 0.0)) / grid.az_fc
+        imm_y = bc_v * (jnp.where(shift_m(per_ff, 0) & ~per_cf, shift_m(dy_ff, 0), 0.0)
+                        + jnp.where(w_face, dy_ff, 0.0)) / grid.az_cf
+        Gu = Gu + imm_x * inv_m_fc
+        Gv = Gv + imm_y * inv_m_cf
 
     Gu = jnp.where(m_fc <= 0, 0.0, Gu)
     Gv = jnp.where(m_cf <= 0, 0.0, Gv)

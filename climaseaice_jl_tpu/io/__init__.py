@@ -1,5 +1,5 @@
-from .checkpoint import save_checkpoint, load_checkpoint, restore_state
+from .checkpoint import save_checkpoint, load_checkpoint, restore_state, Checkpointer
 from .writers import NPZWriter, NetCDFWriter, FieldTimeSeriesAccumulator
 
-__all__ = ["save_checkpoint", "load_checkpoint", "restore_state",
+__all__ = ["save_checkpoint", "load_checkpoint", "restore_state", "Checkpointer",
            "NPZWriter", "NetCDFWriter", "FieldTimeSeriesAccumulator"]

@@ -42,6 +42,31 @@ def load_checkpoint(path):
         return {k: data[k] for k in data.files}
 
 
+class Checkpointer:
+    """Scheduled checkpoint writer + pickup source (Oceananigans
+    `Checkpointer` analog; `test/test_checkpointing.jl:29-127`).
+
+    Writes ``<prefix>_iteration<N>.npz`` on schedule; ``latest()`` returns the
+    most recent file for ``Simulation.run(pickup=True)``.
+    """
+
+    def __init__(self, prefix, schedule):
+        self.prefix = prefix
+        self.schedule = schedule
+
+    def maybe_write(self, sim):
+        if self.schedule(sim):
+            save_checkpoint(f"{self.prefix}_iteration{sim.iteration}.npz", sim.state)
+
+    def latest(self):
+        import glob
+        import re
+        files = glob.glob(f"{self.prefix}_iteration*.npz")
+        if not files:
+            return None
+        return max(files, key=lambda f: int(re.search(r"iteration(\d+)", f).group(1)))
+
+
 def restore_state(template_state, checkpoint):
     """Restore a state pytree from a checkpoint dict, using ``template_state``
     for the tree structure.  Bit-exact: leaves are taken verbatim."""

@@ -247,18 +247,27 @@ def update_state(model, state):
 # --- tendencies and tracer update ---------------------------------------------
 
 def tracer_tendencies(model, state):
-    """G = −∇·(U c) for h, ℵ, hs and extra tracers
-    (`src/tracer_tendency_kernel_functions.jl:27-52`)."""
+    """G = −∇·(U c) + user forcing for h, ℵ, hs and extra tracers
+    (`src/tracer_tendency_kernel_functions.jl:27-52`; forcing surface mirrors
+    Oceananigans `model_forcing`, `src/sea_ice_model.jl:260`)."""
     grid = model.grid
     adv = model.advection
     u, v = state.u, state.v
     adv_masks = (model.masks.per_fc, model.masks.per_cf)
+    forcing = model.forcing_dict()
+    fields = make_fields(model, state) if forcing else None
+
+    def F(name):
+        fn = forcing.get(name)
+        if fn is None:
+            return 0.0
+        return fn(grid, state.clock, fields)
 
     div = lambda c: horizontal_div_Uc(grid, adv, u, v, c, masks=adv_masks)
-    Gh = -div(state.h)
-    Ga = -div(state.a)
-    Ghs = -div(state.hs) if state.hs is not None else None
-    Gtr = {k: -div(c) for k, c in (state.tracers or {}).items()}
+    Gh = -div(state.h) + F("h")
+    Ga = -div(state.a) + F("a")
+    Ghs = (-div(state.hs) + F("hs")) if state.hs is not None else None
+    Gtr = {k: -div(c) + F(k) for k, c in (state.tracers or {}).items()}
     return Gh, Ga, Ghs, Gtr
 
 

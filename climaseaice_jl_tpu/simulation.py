@@ -86,8 +86,25 @@ class Simulation:
         for w in self.output_writers.values():
             w.maybe_write(self)
 
-    def run(self):
+    def run(self, pickup=None):
+        """Run to the stop condition.  ``pickup``: a checkpoint path, or True
+        to resume from the latest checkpoint of a registered Checkpointer
+        (`run!(sim, pickup=…)` analog, `test/test_checkpointing.jl`)."""
+        if pickup:
+            from .io.checkpoint import restore_state, Checkpointer
+            path = pickup
+            if pickup is True:
+                for w in self.output_writers.values():
+                    if isinstance(w, Checkpointer):
+                        path = w.latest()
+                        break
+                if path is True or path is None:
+                    raise ValueError("pickup=True requires a Checkpointer "
+                                     "output writer with existing checkpoints")
+            self.state = restore_state(self.state, path)
+
         t0 = _time.perf_counter()
+        steps0 = self.iteration
         self._fire()
         while not self.should_stop():
             self.state = _jitted_step(self.model, self.state, self.dt)
@@ -98,7 +115,12 @@ class Simulation:
                         f"NaN ice thickness at iteration {self.iteration}")
             self._fire()
         jax.block_until_ready(self.state.h)
-        self.wall_seconds += _time.perf_counter() - t0
+        elapsed = _time.perf_counter() - t0
+        self.wall_seconds += elapsed
+        steps = self.iteration - steps0
+        if steps > 0 and elapsed > 0:
+            g = self.model.grid
+            self.points_per_second = g.Nx * g.Ny * steps / elapsed
         return self.state
 
 
