@@ -51,6 +51,12 @@ class SplitExplicitSolver:
     """
     substeps: int = 120
     fused: str = "auto"
+    # halo_exchange (distributed runs only):
+    #   'per_substep' — exchange u/v halos via ppermute after every update;
+    #   'wide'        — communication-avoiding: exchange once per outer step
+    #                   with halos ≥ 2·substeps+3 wide, local-only fills in
+    #                   the loop (`split_explicit_momentum_equations.jl:51-64`)
+    halo_exchange: str = "per_substep"
 
 
 @pytree_dataclass
@@ -225,10 +231,14 @@ def split_explicit_momentum_step(model, state, dt, u_start, v_start,
     substeps = dyn.solver.substeps
     masks = model.masks
 
-    if halo_u is None:
-        halo_u = lambda q: fill_halos_fc(q, grid)
-    if halo_v is None:
-        halo_v = lambda q: fill_halos_cf(q, grid)
+    if halo_u is None or halo_v is None:
+        if getattr(dyn.solver, "halo_exchange", "per_substep") == "wide":
+            from ..fields import fill_halos_fc_local, fill_halos_cf_local
+            halo_u = lambda q: fill_halos_fc_local(q, grid)
+            halo_v = lambda q: fill_halos_cf_local(q, grid)
+        else:
+            halo_u = lambda q: fill_halos_fc(q, grid)
+            halo_v = lambda q: fill_halos_cf(q, grid)
 
     h, a = state.h, state.a
     rho = jnp.broadcast_to(jnp.asarray(model.sea_ice_density, grid.np_dtype), grid.shape)

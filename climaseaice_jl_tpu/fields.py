@@ -169,6 +169,32 @@ FILLERS = {
 }
 
 
+# --- local-only fills (communication-avoiding wide-halo mode) -----------------
+# Analog of the reference's `fill_halo_regions!(…; only_local_halos=true)`
+# (`split_explicit_momentum_equations.jl:170-187`): sides split across the
+# device mesh are left stale (their wide halos were exchanged once, before the
+# substep loop), while physical-boundary sides are refreshed locally.
+
+def _fill_x_local(q, grid: Grid, face: bool):
+    if _meshed(grid, 0):
+        return q
+    return _fill_x(q, grid, face)
+
+
+def _fill_y_local(q, grid: Grid, face: bool):
+    if _meshed(grid, 1):
+        return q
+    return _fill_y(q, grid, face)
+
+
+def fill_halos_fc_local(q, grid: Grid):
+    return _fill_y_local(_fill_x_local(q, grid, True), grid, False)
+
+
+def fill_halos_cf_local(q, grid: Grid):
+    return _fill_y_local(_fill_x_local(q, grid, False), grid, True)
+
+
 # --- peripheral / immersed masks --------------------------------------------
 
 def _solid_base(grid: Grid):

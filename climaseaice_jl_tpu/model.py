@@ -104,6 +104,14 @@ def sea_ice_model(grid: Grid,
                   per_cf=per_cf, per_ff=per_ff)
 
     if forcing is not None and not isinstance(forcing, tuple):
+        unknown = set(forcing) - {"u", "v", "h", "a", "hs", "S"}
+        if unknown:
+            # could be custom tracer names (registered at initial_state time),
+            # but more often a typo — warn rather than silently ignore
+            import warnings
+            warnings.warn(f"forcing keys {sorted(unknown)} match no standard "
+                          "prognostic (u, v, h, a, hs, S); they only apply if "
+                          "a tracer of that name exists", stacklevel=2)
         forcing = tuple(sorted(forcing.items()))
 
     if advection is not None:

@@ -218,6 +218,23 @@ def make_distributed_step(model, mesh_shape, devices=None):
     mesh = make_mesh(mesh_shape, devices)
     axes = ("x" if Px > 1 else None, "y" if Py > 1 else None)
 
+    # Communication-avoiding wide-halo EVP: inflate shard halos to 2N+3 so the
+    # substep loop runs exchange-free (`split_explicit_momentum_equations.jl:51-64`)
+    dyn = model.dynamics
+    wide = (dyn is not None
+            and getattr(getattr(dyn, "solver", None), "halo_exchange", None) == "wide")
+    if wide:
+        from ..grids import with_halo
+        H_needed = 2 * dyn.solver.substeps + 3
+        Hw = max(H_needed, grid.Hx, grid.Hy)
+        min_tile = min(nx if axes[0] else 10**9, ny if axes[1] else 10**9)
+        if Hw > min_tile:
+            raise ValueError(
+                f"wide-halo EVP needs halo {Hw} ≤ tile size {min_tile}; "
+                f"reduce substeps or use halo_exchange='per_substep'")
+        grid = with_halo(grid, Hw)   # wide-padded coordinate/metric source
+        model = model.evolve(grid=grid)
+
     immersed = grid.solid_cc is not None
     solid_int_global = (np.asarray(grid.interior(grid.solid_cc))
                         if immersed else np.zeros(grid.interior_shape, bool))

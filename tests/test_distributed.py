@@ -143,3 +143,47 @@ def test_distributed_with_thermodynamics():
         np.testing.assert_allclose(np.asarray(I(getattr(serial, name))),
                                    np.asarray(I(getattr(dist, name))),
                                    rtol=1e-7, atol=1e-9, err_msg=name)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2), (1, 4)])
+def test_wide_halo_communication_avoiding_evp(mesh_shape):
+    """halo_exchange='wide': shard halos inflated to 2N+3, zero exchanges in
+    the substep loop, one exchange per outer step — must still reproduce the
+    serial run (`split_explicit_momentum_equations.jl:51-64,170-187`)."""
+    km = 1000.0
+    grid = csi.RectilinearGrid(size=(48, 48), x=(-10 * km, 10 * km),
+                               y=(-10 * km, 10 * km), halo=5)
+    dynamics = csi.SeaIceMomentumEquation(
+        rheology=csi.ElastoViscoPlasticRheology(max_relaxation_parameter=1e4),
+        coriolis=csi.FPlane(f=1e-4),
+        top_momentum_stress={"u": 0.01, "v": 0.01},
+        bottom_momentum_stress=csi.SemiImplicitStress(),
+        solver=csi.SplitExplicitSolver(substeps=4, halo_exchange="wide"))
+    model = csi.sea_ice_model(grid, dynamics=dynamics, ice_thermodynamics=None,
+                              advection=csi.WENO(order=7),
+                              timestepper="ForwardEuler")
+
+    def h0(x, y):
+        return 0.3 + 0.005 * (np.sin(60 * x / (20 * km)) + np.sin(30 * y / (20 * km)))
+
+    state = csi.initial_state(model, h=h0, a=1.0, u=0.1)
+
+    serial = _run_serial(model, state, 10, 60.0)
+    dist = _run_distributed(model, state, 10, 60.0, mesh_shape)
+
+    I = model.grid.interior
+    for name in ("u", "v", "h", "a"):
+        a = np.asarray(I(getattr(serial, name)))
+        b = np.asarray(I(getattr(dist, name)))
+        np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-9,
+                                   err_msg=f"wide-halo {name} mismatch {mesh_shape}")
+
+
+def test_wide_halo_rejects_small_tiles():
+    grid = csi.RectilinearGrid(size=(16, 16), halo=4)
+    dynamics = csi.SeaIceMomentumEquation(
+        rheology=csi.ElastoViscoPlasticRheology(),
+        solver=csi.SplitExplicitSolver(substeps=50, halo_exchange="wide"))
+    model = csi.sea_ice_model(grid, dynamics=dynamics, ice_thermodynamics=None)
+    with pytest.raises(ValueError, match="wide-halo"):
+        make_distributed_step(model, (2, 4))
