@@ -59,6 +59,7 @@ def _fill_x_distributed(q, grid: Grid, face: bool):
     H, N = grid.Hx, grid.Nx
     P = grid.mesh_shape[0]
     name = grid.mesh_axes[0]
+    seam = q[H + N] if face else None  # east-wall face value, pre-exchange
     q = _exchange(q, 0, name, P, H, N)
     if grid.topology[0] == BOUNDED:
         ix = lax.axis_index(name)
@@ -67,7 +68,9 @@ def _fill_x_distributed(q, grid: Grid, face: bool):
             right_bc = jnp.zeros_like(q[H + N + 1:])
             q = q.at[:H].set(jnp.where(ix == 0, left_bc, q[:H]))
             q = q.at[H + N + 1:].set(jnp.where(ix == P - 1, right_bc, q[H + N + 1:]))
-            # the global east wall face itself stays whatever it is (masked)
+            # the global east-wall face is a physical DOF: the ring exchange
+            # clobbered it on the last shard — restore (serial fill keeps it)
+            q = q.at[H + N].set(jnp.where(ix == P - 1, seam, q[H + N]))
         else:
             q = q.at[:H].set(jnp.where(ix == 0, q[H:H + 1], q[:H]))
             q = q.at[H + N:].set(jnp.where(ix == P - 1, q[H + N - 1:H + N], q[H + N:]))
@@ -78,6 +81,7 @@ def _fill_y_distributed(q, grid: Grid, face: bool):
     H, N = grid.Hy, grid.Ny
     P = grid.mesh_shape[1]
     name = grid.mesh_axes[1]
+    seam = q[:, H + N] if face else None  # north-wall/seam face, pre-exchange
     q = _exchange(q, 1, name, P, H, N)
     if grid.topology[1] == BOUNDED:
         iy = lax.axis_index(name)
@@ -85,6 +89,7 @@ def _fill_y_distributed(q, grid: Grid, face: bool):
             q = q.at[:, :H].set(jnp.where(iy == 0, jnp.zeros_like(q[:, :H]), q[:, :H]))
             q = q.at[:, H + N + 1:].set(
                 jnp.where(iy == P - 1, jnp.zeros_like(q[:, H + N + 1:]), q[:, H + N + 1:]))
+            q = q.at[:, H + N].set(jnp.where(iy == P - 1, seam, q[:, H + N]))
         else:
             q = q.at[:, :H].set(jnp.where(iy == 0, q[:, H:H + 1], q[:, :H]))
             q = q.at[:, H + N:].set(
@@ -135,30 +140,76 @@ def _fill_y(q, grid: Grid, face: bool):
     return q
 
 
+# --- Zipper fold (tripolar north boundary) -----------------------------------
+# The top edge folds onto itself with x reversed: cell (i, Ny-1+k) pairs with
+# cell (Nx-1-i, Ny-k).  u and v flip sign across the fold (Zipper sign flip,
+# `src/sea_ice_model.jl:57-64`); scalars and σ₁₂ keep sign (both the component
+# direction and the coordinate flip under the 180° fold rotation).
+
+def _x_fold_indices(grid: Grid, face: bool):
+    Hx, Nx = grid.Hx, grid.Nx
+    p = np.arange(grid.nxp)
+    if face:
+        src = ((Nx - (p - Hx)) % Nx) + Hx      # face i ↔ face (Nx − i) mod Nx
+    else:
+        src = ((Nx - 1 - (p - Hx)) % Nx) + Hx  # center i ↔ Nx − 1 − i
+    return src
+
+
+def _fill_y_fold(q, grid: Grid, xface: bool, yface: bool, sign: float):
+    """Overwrite the north halo (and, for y-face fields, project the seam row
+    onto its fold symmetry) from the x-reversed top interior rows."""
+    Hy, Ny = grid.Hy, grid.Ny
+    r = sign * q[_x_fold_indices(grid, xface), :]
+    if not yface:
+        src = [Hy + Ny - 1 - k for k in range(Hy)]
+        return q.at[:, Hy + Ny:].set(r[:, src])
+    seam = 0.5 * (q[:, Hy + Ny] + r[:, Hy + Ny])
+    q = q.at[:, Hy + Ny].set(seam)
+    if Hy > 1:
+        src = [Hy + Ny - k for k in range(1, Hy)]
+        q = q.at[:, Hy + Ny + 1:].set(r[:, src])
+    return q
+
+
+def _maybe_fold(q, grid: Grid, xface: bool, yface: bool, sign: float):
+    if not (grid.north_fold and grid.Hy > 0):
+        return q
+    if _meshed(grid, 0):
+        raise NotImplementedError("north_fold with an x-split device mesh")
+    if _meshed(grid, 1):
+        # only the northernmost y-shard folds (`distributed_tests_utils.jl:231-257`
+        # tests the fold on the top rank)
+        folded = _fill_y_fold(q, grid, xface, yface, sign)
+        iy = lax.axis_index(grid.mesh_axes[1])
+        return jnp.where(iy == grid.mesh_shape[1] - 1, folded, q)
+    return _fill_y_fold(q, grid, xface, yface, sign)
+
+
 def fill_halos_cc(q, grid: Grid):
     q = _fill_x(q, grid, face=False)
     q = _fill_y(q, grid, face=False)
-    return q
+    return _maybe_fold(q, grid, False, False, 1.0)
 
 
 def fill_halos_fc(q, grid: Grid):
     """u-like fields: face in x, center in y."""
     q = _fill_x(q, grid, face=True)
     q = _fill_y(q, grid, face=False)
-    return q
+    return _maybe_fold(q, grid, True, False, -1.0)
 
 
 def fill_halos_cf(q, grid: Grid):
     """v-like fields: center in x, face in y."""
     q = _fill_x(q, grid, face=False)
     q = _fill_y(q, grid, face=True)
-    return q
+    return _maybe_fold(q, grid, False, True, -1.0)
 
 
 def fill_halos_ff(q, grid: Grid):
     q = _fill_x(q, grid, face=True)
     q = _fill_y(q, grid, face=True)
-    return q
+    return _maybe_fold(q, grid, True, True, 1.0)
 
 
 FILLERS = {
@@ -207,7 +258,8 @@ def _solid_base(grid: Grid):
         m[grid.Hx + grid.Nx:] = True
     if grid.topology[1] == BOUNDED and grid.Hy > 0:
         m[:, :grid.Hy] = True
-        m[:, grid.Hy + grid.Ny:] = True
+        if not grid.north_fold:  # folded north edge is connected, not a wall
+            m[:, grid.Hy + grid.Ny:] = True
     return m
 
 

@@ -58,6 +58,12 @@ class Grid:
     mesh_axes: tuple = static_field(default=None)
     mesh_shape: tuple = static_field(default=None)
 
+    # Zipper fold across the north edge (tripolar-style grids): the top
+    # boundary folds back onto itself with x reversed; u, v change sign across
+    # the fold (`src/sea_ice_model.jl:57-64` Zipper sign flip).  Requires
+    # periodic x and bounded y.
+    north_fold: bool = static_field(default=False)
+
     # --- coordinates (padded 1-D arrays) -------------------------------------
     xc: object = None  # (nxp,) cell-center x (or longitude, degrees)
     xf: object = None  # (nxp,) x-face positions
@@ -152,7 +158,8 @@ def _pad_coords(N, H, lo, hi, dtype):
 
 
 def RectilinearGrid(size=None, x=(0.0, 1.0), y=(0.0, 1.0),
-                    topology=None, halo=None, dtype="float64"):
+                    topology=None, halo=None, dtype="float64",
+                    north_fold=False):
     """Uniform rectilinear grid (subset of Oceananigans' RectilinearGrid used by
     the reference; see e.g. `examples/ice_advected_by_anticyclone.jl:41-46`).
 
@@ -189,10 +196,16 @@ def RectilinearGrid(size=None, x=(0.0, 1.0), y=(0.0, 1.0),
     dy = np.asarray(dy, npdt)[()]
     az = dx * dy
 
+    if north_fold:
+        if topo[0] != PERIODIC or topo[1] != BOUNDED:
+            raise ValueError("north_fold requires (periodic, bounded) topology")
+        if Nx % 2:
+            raise ValueError("north_fold requires even Nx (fold pairs i ↔ Nx-1-i)")
+
     mk = lambda v: jnp.asarray(v, npdt)
     return Grid(
         Nx=Nx, Ny=Ny, Hx=Hx, Hy=Hy, topology=topo, dtype=str(npdt),
-        kind="rectilinear",
+        kind="rectilinear", north_fold=north_fold,
         xc=mk(xc), xf=mk(xf), yc=mk(yc), yf=mk(yf),
         dx_cc=mk(dx), dx_fc=mk(dx), dx_cf=mk(dx), dx_ff=mk(dx),
         dy_cc=mk(dy), dy_fc=mk(dy), dy_cf=mk(dy), dy_ff=mk(dy),

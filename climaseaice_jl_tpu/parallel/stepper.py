@@ -121,7 +121,9 @@ def _local_solid(lgrid, solid_int, ix, iy):
     if lgrid.topology[0] == BOUNDED and Hx > 0:
         solid = solid | ((ix == 0) & (col < Hx)) | ((ix == Px - 1) & (col >= Hx + nx))
     if lgrid.topology[1] == BOUNDED and Hy > 0:
-        solid = solid | ((iy == 0) & (row < Hy)) | ((iy == Py - 1) & (row >= Hy + ny))
+        solid = solid | ((iy == 0) & (row < Hy))
+        if not lgrid.north_fold:  # folded north edge is connected, not a wall
+            solid = solid | ((iy == Py - 1) & (row >= Hy + ny))
     return solid
 
 
@@ -137,17 +139,52 @@ def _local_masks(lgrid, solid_int, ix, iy, immersed):
                  per_fc=per_fc, per_cf=per_cf, per_ff=per_ff)
 
 
+# Face-y located state components.  On a north-folded grid the seam face row
+# (global face Ny) is a *physical* degree of freedom; interior-only stripping
+# would lose it every outer step.  There we strip rows [1, Ny] (keeping the
+# seam, dropping the dead south-wall face 0) — same count, same sharding.
+_Y_FACE_FIELDS = {"v", "vn", "sig12", "zeta_ff"}
+
+
+def _shifted(name, grid):
+    return grid.north_fold and name in _Y_FACE_FIELDS
+
+
+def _strip_one(name, q, lgrid):
+    if _shifted(name, lgrid):
+        return q[lgrid.Hx:lgrid.Hx + lgrid.Nx,
+                 lgrid.Hy + 1:lgrid.Hy + lgrid.Ny + 1]
+    return lgrid.interior(q)
+
+
+def _pad_one(name, q, lgrid, meshed_y):
+    Hx, Hy = lgrid.Hx, lgrid.Hy
+    full = jnp.zeros(lgrid.shape, q.dtype)
+    if _shifted(name, lgrid):
+        full = full.at[Hx:Hx + lgrid.Nx, Hy + 1:Hy + lgrid.Ny + 1].set(q)
+        if meshed_y:
+            # shared interface face: row Hy ← south neighbor's seam-side row
+            name_y = lgrid.mesh_axes[1]
+            P = lgrid.mesh_shape[1]
+            fwd = [(i, (i + 1) % P) for i in range(P)]
+            from_south = lax.ppermute(full[:, Hy + lgrid.Ny], name_y, fwd)
+            iy = lax.axis_index(name_y)
+            row = jnp.where(iy == 0, jnp.zeros_like(from_south), from_south)
+            full = full.at[:, Hy].set(row)
+    else:
+        full = full.at[Hx:Hx + lgrid.Nx, Hy:Hy + lgrid.Ny].set(q)
+    return _FILLERS[_STATE_LOCS.get(name, "cc")](full, lgrid)
+
+
 def _pad_state(state, lgrid):
     """Pad interior-only leaves back to halo-inclusive local arrays and fill
     every halo (one exchange round) before stepping."""
-    Hx, Hy = lgrid.Hx, lgrid.Hy
+    meshed_y = lgrid.mesh_shape is not None and lgrid.mesh_shape[1] > 1
 
     def pad(name, q):
         if q is None:
             return None
-        full = jnp.zeros(lgrid.shape, q.dtype)
-        full = full.at[Hx:Hx + lgrid.Nx, Hy:Hy + lgrid.Ny].set(q)
-        return _FILLERS[_STATE_LOCS.get(name, "cc")](full, lgrid)
+        return _pad_one(name, q, lgrid, meshed_y)
 
     upd = {name: pad(name, getattr(state, name)) for name in _STATE_LOCS}
     if state.tracers:
@@ -160,7 +197,7 @@ def _strip_state(state, lgrid):
     for name in _STATE_LOCS:
         q = getattr(state, name)
         if q is not None:
-            upd[name] = lgrid.interior(q)
+            upd[name] = _strip_one(name, q, lgrid)
     if state.tracers:
         upd["tracers"] = {k: lgrid.interior(v) for k, v in state.tracers.items()}
     return state.evolve(**upd)
@@ -174,14 +211,11 @@ def strip_halos(model, state):
 def unstrip_halos(model, state_int):
     """Interior-only state → global padded state with fresh halos."""
     grid = model.grid
-    Hx, Hy = grid.Hx, grid.Hy
 
     def pad(name, q):
         if q is None:
             return None
-        full = jnp.zeros(grid.shape, q.dtype)
-        full = full.at[Hx:Hx + grid.Nx, Hy:Hy + grid.Ny].set(q)
-        return _FILLERS[_STATE_LOCS.get(name, "cc")](full, grid)
+        return _pad_one(name, q, grid, meshed_y=False)
 
     upd = {name: pad(name, getattr(state_int, name)) for name in _STATE_LOCS}
     if state_int.tracers:
