@@ -49,7 +49,7 @@ def main():
     import jax
     from climaseaice_jl_tpu.model import _step
 
-    N = int(os.environ.get("BENCH_N", 256))
+    N = int(os.environ.get("BENCH_N", 512))
     substeps = int(os.environ.get("BENCH_SUBSTEPS", 120))
     steps = int(os.environ.get("BENCH_STEPS", 10))
 

@@ -44,8 +44,17 @@ _P_DT, _P_DX, _P_DY, _P_F, _P_TAUU, _P_TAUV, _P_RC, _P_UE, _P_VE, \
     _P_EINV2, _P_AMIN, _P_AMAX, _P_CALPHA, _P_DMIN, _P_MASSMIN, _P_CONCMIN, \
     _P_REPL, _P_NPARAMS = range(18)
 
-# VMEM budget: 6 carry + 12 constant arrays + temporaries
-_MAX_POINTS = 65_536  # ≤256² f32: resident arrays + temporaries fit 16 MB VMEM (320² spills)
+# VMEM budgets (f32): the rich whole-loop kernel keeps 12 precomputed
+# constants + 6 carry resident and fits ≤256²; larger grids use the tiled
+# substep-chunked kernel (pallas_evp_tiled.py) up to 2048².
+_MAX_POINTS_RICH = 65_536
+_MAX_POINTS_TILED = 4_194_304
+
+
+def _tiled_eligible(grid, nsub):
+    from .pallas_evp_tiled import TILE_ROWS, CHUNK_SUBSTEPS
+    return (grid.Nx % TILE_ROWS == 0 and nsub % CHUNK_SUBSTEPS == 0
+            and grid.Nx * grid.Ny <= _MAX_POINTS_TILED)
 
 
 def _scalar(x):
@@ -69,9 +78,10 @@ def fused_available(model):
         return False
     if grid.np_dtype != np.dtype("float32"):
         return False
-    if grid.Nx * grid.Ny > _MAX_POINTS:
-        return False
     if grid.Nx % 8 or grid.Ny % 128:
+        return False
+    if (grid.Nx * grid.Ny > _MAX_POINTS_RICH
+            and not _tiled_eligible(grid, dyn.solver.substeps)):
         return False
     # metrics must be uniform scalars
     if not all(_scalar(m) or np.ndim(np.asarray(m)) == 0
@@ -269,6 +279,163 @@ def _evp_kernel(nsub, params_ref,
     o_al_ref[:] = alpha
 
 
+def _evp_kernel_lean(nsub, params_ref,
+                     m_ref, a_ref, P_ref, un_ref, vn_ref,
+                     u_ref, v_ref, s11_ref, s22_ref, s12_ref, al_ref,
+                     o_u_ref, o_v_ref, o_s11_ref, o_s22_ref, o_s12_ref, o_al_ref):
+    """Lean variant for larger grids: only (m, a, P, uⁿ, vⁿ) + the 6-array
+    carry stay VMEM-resident; the derived drag/mask/γ-coefficient fields are
+    recomputed inside each substep.  Cuts resident VMEM from 18 to 11 arrays
+    (≈12 MB at 512² f32), trading ~15 extra cheap VPU passes per substep —
+    the loop is compute-bound in VMEM anyway."""
+    p = params_ref
+    dt = p[_P_DT]
+    inv_dx = 1.0 / p[_P_DX]
+    inv_dy = 1.0 / p[_P_DY]
+    inv_az = inv_dx * inv_dy
+    f_cor = p[_P_F]
+    tau_u_top = p[_P_TAUU]
+    tau_v_top = p[_P_TAUV]
+    rC = p[_P_RC]
+    ue = p[_P_UE]
+    ve = p[_P_VE]
+    e_inv2 = p[_P_EINV2]
+    a_min = p[_P_AMIN]
+    a_max = p[_P_AMAX]
+    c_alpha = p[_P_CALPHA]
+    d_min = p[_P_DMIN]
+    mass_min = p[_P_MASSMIN]
+    conc_min = p[_P_CONCMIN]
+    repl = p[_P_REPL]
+
+    roll = pltpu.roll
+
+    def sp(q, axis):
+        return roll(q, 1, axis)
+
+    def sm(q, axis):
+        return roll(q, q.shape[axis] - 1, axis)
+
+    def ixf_(q):
+        return 0.5 * (q + sp(q, 0))
+
+    def iyf_(q):
+        return 0.5 * (q + sp(q, 1))
+
+    def ixc_(q):
+        return 0.5 * (q + sm(q, 0))
+
+    def iyc_(q):
+        return 0.5 * (q + sm(q, 1))
+
+    def body(i, carry):
+        u, v, s11, s22, s12, alpha = carry
+        # Spurious dependence on i defeats loop-invariant hoisting, which
+        # would otherwise re-materialize the derived fields as residents.
+        guard = jnp.where(i < 0, jnp.float32(1), jnp.float32(0))
+        m = m_ref[:] + guard
+        a = a_ref[:] + guard
+        P = P_ref[:]
+
+        # ---- derived per-substep fields (loop-invariant values, recomputed)
+        m_fc = ixf_(m)
+        a_fc = ixf_(a)
+        m_cf = iyf_(m)
+        a_cf = iyf_(a)
+        ok_u = m_fc > 0
+        ok_v = m_cf > 0
+        invm_u = jnp.where(ok_u, 1.0 / jnp.where(ok_u, m_fc, 1.0), 0.0)
+        invm_v = jnp.where(ok_v, 1.0 / jnp.where(ok_v, m_cf, 1.0), 0.0)
+        drag_u = invm_u * a_fc
+        drag_v = invm_v * a_cf
+        act_u = jnp.where((m_fc >= mass_min) & (a_fc >= conc_min), 1.0, 0.0)
+        act_v = jnp.where((m_cf >= mass_min) & (a_cf >= conc_min), 1.0, 0.0)
+        m_ff = ixf_(iyf_(m))
+        Pff = ixf_(iyf_(P))
+        ok_cc = m > 0
+        ok_ff = m_ff > 0
+        gcc = jnp.where(ok_cc, c_alpha * dt * inv_az / jnp.where(ok_cc, m, 1.0), -1.0)
+        gff = jnp.where(ok_ff, c_alpha * dt * inv_az / jnp.where(ok_ff, m_ff, 1.0), -1.0)
+
+        # ---- stresses
+        e11 = (sm(u, 0) - u) * inv_dx
+        e22 = (sm(v, 1) - v) * inv_dy
+        e12 = 0.5 * ((u - sp(u, 1)) * inv_dy + (v - sp(v, 0)) * inv_dx)
+        e11f = ixf_(iyf_(e11))
+        e22f = ixf_(iyf_(e22))
+        e12c = ixc_(iyc_(e12))
+        d_cc = e11 + e22
+        d_ff = e11f + e22f
+        Dcc = jnp.maximum(jnp.sqrt(d_cc ** 2 + ((e11 - e22) ** 2 + 4 * e12c ** 2) * e_inv2), d_min)
+        Dff = jnp.maximum(jnp.sqrt(d_ff ** 2 + ((e11f - e22f) ** 2 + 4 * e12 ** 2) * e_inv2), d_min)
+        zcc = P / (2 * Dcc)
+        zff = Pff / (2 * Dff)
+        Pr = jnp.where(repl > 0, P * Dcc / (Dcc + d_min), P)
+        eta_cc = zcc * e_inv2
+        eta_ff = zff * e_inv2
+        iso = (zcc - eta_cc) * d_cc - Pr * 0.5
+        s11_t = 2 * eta_cc * e11 + iso
+        s22_t = 2 * eta_cc * e22 + iso
+        s12_t = 2 * eta_ff * e12
+        gamma_cc = jnp.where(gcc > 0, jnp.clip(jnp.sqrt(jnp.abs(zcc * gcc)), a_min, a_max), a_max)
+        gamma_ff = jnp.where(gff > 0, jnp.clip(jnp.sqrt(jnp.abs(zff * gff)), a_min, a_max), a_max)
+        s11 = s11 + jnp.where(gcc > 0, (s11_t - s11) / gamma_cc, 0.0)
+        s22 = s22 + jnp.where(gcc > 0, (s22_t - s22) / gamma_cc, 0.0)
+        s12 = s12 + jnp.where(gff > 0, (s12_t - s12) / gamma_ff, 0.0)
+        alpha = gamma_cc
+
+        def u_update(u, v):
+            div_x = (s11 - sp(s11, 0)) * inv_dx + (sm(s12, 1) - s12) * inv_dy
+            v_fc = ixf_(iyc_(v))
+            du = ue - u
+            dv = ve - v_fc
+            speed = jnp.sqrt(du * du + dv * dv)
+            Gu = (f_cor * v_fc - tau_u_top * drag_u + rC * speed * ue * drag_u
+                  + div_x * invm_u + (un_ref[:] - u) / dt)
+            Gu = jnp.where(ok_u, Gu, 0.0)
+            dtau = dt / ixf_(alpha)
+            return (u + dtau * Gu) / (1 + dtau * rC * speed * drag_u) * act_u
+
+        def v_update(u, v):
+            div_y = (s22 - sp(s22, 1)) * inv_dy + (sm(s12, 0) - s12) * inv_dx
+            u_cf = ixc_(iyf_(u))
+            dv = ve - v
+            du = ue - u_cf
+            speed = jnp.sqrt(du * du + dv * dv)
+            Gv = (-f_cor * u_cf - tau_v_top * drag_v + rC * speed * ve * drag_v
+                  + div_y * invm_v + (vn_ref[:] - v) / dt)
+            Gv = jnp.where(ok_v, Gv, 0.0)
+            dtau = dt / iyf_(alpha)
+            return (v + dtau * Gv) / (1 + dtau * rC * speed * drag_v) * act_v
+
+        substep = i + 1
+
+        def even_order(uv):
+            u, v = uv
+            u2 = u_update(u, v)
+            v2 = v_update(u2, v)
+            return u2, v2
+
+        def odd_order(uv):
+            u, v = uv
+            v2 = v_update(u, v)
+            u2 = u_update(u, v2)
+            return u2, v2
+
+        u, v = lax.cond(substep % 2 == 0, even_order, odd_order, (u, v))
+        return (u, v, s11, s22, s12, alpha)
+
+    init = (u_ref[:], v_ref[:], s11_ref[:], s22_ref[:], s12_ref[:], al_ref[:])
+    u, v, s11, s22, s12, alpha = lax.fori_loop(0, nsub, body, init)
+
+    o_u_ref[:] = u
+    o_v_ref[:] = v
+    o_s11_ref[:] = s11
+    o_s22_ref[:] = s22
+    o_s12_ref[:] = s12
+    o_al_ref[:] = alpha
+
+
 def fused_split_explicit_momentum_step(model, state, dt, u_start, v_start,
                                        interpret=False):
     """Run the full substep loop in one pallas_call; returns the same update
@@ -358,26 +525,31 @@ def fused_split_explicit_momentum_step(model, state, dt, u_start, v_start,
         jnp.zeros((), jnp.float32),
     ])
 
-    consts = [I(q) for q in (P_pad, Pff_pad, gcc_pad, gff_pad,
-                             drag_u_pad, invm_u_pad, act_u_pad, u_start,
-                             drag_v_pad, invm_v_pad, act_v_pad, v_start)]
     carry_in = [I(q) for q in (u_start, v_start, state.sig11, state.sig22,
                                state.sig12, state.alpha)]
 
-    shape = carry_in[0].shape
-    out_shape = [jax.ShapeDtypeStruct(shape, jnp.float32)] * 6
-
-    n_in = 1 + len(consts) + len(carry_in)
-    kernel = functools.partial(_evp_kernel, nsub)
-    outs = pl.pallas_call(
-        kernel,
-        out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(consts) + len(carry_in)),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        input_output_aliases={n_in - 6 + k: k for k in range(6)},
-        interpret=interpret,
-    )(params, *consts, *carry_in)
+    if grid.Nx * grid.Ny <= _MAX_POINTS_RICH:
+        consts = [I(q) for q in (P_pad, Pff_pad, gcc_pad, gff_pad,
+                                 drag_u_pad, invm_u_pad, act_u_pad, u_start,
+                                 drag_v_pad, invm_v_pad, act_v_pad, v_start)]
+        kernel = functools.partial(_evp_kernel, nsub)
+        shape = carry_in[0].shape
+        out_shape = [jax.ShapeDtypeStruct(shape, jnp.float32)] * 6
+        n_in = 1 + len(consts) + len(carry_in)
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(consts) + len(carry_in)),
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            input_output_aliases={n_in - 6 + k: k for k in range(6)},
+            interpret=interpret,
+        )(params, *consts, *carry_in)
+    else:
+        from .pallas_evp_tiled import tiled_chunked_evp
+        outs = tiled_chunked_evp(nsub, params,
+                                 I(m_cc), I(a), I(P_pad), I(u_start), I(v_start),
+                                 *carry_in, interpret=interpret)
 
     u_i, v_i, s11_i, s22_i, s12_i, al_i = outs
 

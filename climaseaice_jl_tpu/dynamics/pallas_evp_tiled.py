@@ -1,0 +1,246 @@
+"""Tiled, substep-chunked Pallas EVP kernel for grids too large for the
+VMEM-resident whole-loop kernel (pallas_evp.py).
+
+Strategy — the reference's communication-avoiding wide-halo trick
+(`split_explicit_momentum_equations.jl:51-64`) applied to the HBM↔VMEM
+boundary instead of the network: the domain is split into x-slabs; each slab
+is loaded once per K-substep *chunk* with a W = 2K+3-row overlap, runs K
+substeps entirely in VMEM (validity shrinking ~2 rows/substep), and stores
+its TX interior rows.  HBM traffic drops from ~24 array-passes/substep (jnp
+path) to ~(11 reads + 6 writes + overlap-assembly)/K, at the cost of
+(TX+2W)/TX redundant compute.
+
+Same supported configuration as the lean whole-loop kernel: uniform
+doubly-periodic f32 rectilinear grid, scalar stresses.  The x overlap
+(including the periodic wrap) is assembled *outside* the kernel into a
+contiguous (n_tiles·(TX+2W), ny) slab array, so BlockSpec's non-overlapping
+blocks each see exactly one halo-extended slab; y shifts remain exact
+circular rolls.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_evp import (_P_DT, _P_DX, _P_DY, _P_F, _P_TAUU, _P_TAUV, _P_RC,
+                         _P_UE, _P_VE, _P_EINV2, _P_AMIN, _P_AMAX, _P_CALPHA,
+                         _P_DMIN, _P_MASSMIN, _P_CONCMIN, _P_REPL)
+
+_P_PARITY = 17  # spare params slot: global substep offset of the chunk
+
+CHUNK_SUBSTEPS = 8           # K: substeps per chunk
+TILE_ROWS = 128              # TX: interior rows per slab
+
+
+def _tiled_kernel(K, TX, W, params_ref,
+                  m_ref, a_ref, P_ref, un_ref, vn_ref,
+                  u_ref, v_ref, s11_ref, s22_ref, s12_ref, al_ref,
+                  o_u_ref, o_v_ref, o_s11_ref, o_s22_ref, o_s12_ref, o_al_ref):
+    """One chunk of K substeps on one halo-extended x-slab (TX+2W rows)."""
+    p = params_ref
+    dt = p[_P_DT]
+    inv_dx = 1.0 / p[_P_DX]
+    inv_dy = 1.0 / p[_P_DY]
+    inv_az = inv_dx * inv_dy
+    f_cor = p[_P_F]
+    tau_u_top = p[_P_TAUU]
+    tau_v_top = p[_P_TAUV]
+    rC = p[_P_RC]
+    ue = p[_P_UE]
+    ve = p[_P_VE]
+    e_inv2 = p[_P_EINV2]
+    a_min = p[_P_AMIN]
+    a_max = p[_P_AMAX]
+    c_alpha = p[_P_CALPHA]
+    d_min = p[_P_DMIN]
+    mass_min = p[_P_MASSMIN]
+    conc_min = p[_P_CONCMIN]
+    repl = p[_P_REPL]
+    base = p[_P_PARITY]
+
+    roll = pltpu.roll
+
+    def sp(q, axis):
+        return roll(q, 1, axis)
+
+    def sm(q, axis):
+        return roll(q, q.shape[axis] - 1, axis)
+
+    def ixf_(q):
+        return 0.5 * (q + sp(q, 0))
+
+    def iyf_(q):
+        return 0.5 * (q + sp(q, 1))
+
+    def ixc_(q):
+        return 0.5 * (q + sm(q, 0))
+
+    def iyc_(q):
+        return 0.5 * (q + sm(q, 1))
+
+    un = un_ref[:]
+    vn = vn_ref[:]
+
+    def body(i, carry):
+        u, v, s11, s22, s12, alpha = carry
+        guard = jnp.where(i < 0, jnp.float32(1), jnp.float32(0))
+        m = m_ref[:] + guard
+        a = a_ref[:] + guard
+        P = P_ref[:]
+
+        m_fc = ixf_(m)
+        a_fc = ixf_(a)
+        m_cf = iyf_(m)
+        a_cf = iyf_(a)
+        ok_u = m_fc > 0
+        ok_v = m_cf > 0
+        invm_u = jnp.where(ok_u, 1.0 / jnp.where(ok_u, m_fc, 1.0), 0.0)
+        invm_v = jnp.where(ok_v, 1.0 / jnp.where(ok_v, m_cf, 1.0), 0.0)
+        drag_u = invm_u * a_fc
+        drag_v = invm_v * a_cf
+        act_u = jnp.where((m_fc >= mass_min) & (a_fc >= conc_min), 1.0, 0.0)
+        act_v = jnp.where((m_cf >= mass_min) & (a_cf >= conc_min), 1.0, 0.0)
+        m_ff = ixf_(iyf_(m))
+        Pff = ixf_(iyf_(P))
+        ok_cc = m > 0
+        ok_ff = m_ff > 0
+        gcc = jnp.where(ok_cc, c_alpha * dt * inv_az / jnp.where(ok_cc, m, 1.0), -1.0)
+        gff = jnp.where(ok_ff, c_alpha * dt * inv_az / jnp.where(ok_ff, m_ff, 1.0), -1.0)
+
+        e11 = (sm(u, 0) - u) * inv_dx
+        e22 = (sm(v, 1) - v) * inv_dy
+        e12 = 0.5 * ((u - sp(u, 1)) * inv_dy + (v - sp(v, 0)) * inv_dx)
+        e11f = ixf_(iyf_(e11))
+        e22f = ixf_(iyf_(e22))
+        e12c = ixc_(iyc_(e12))
+        d_cc = e11 + e22
+        d_ff = e11f + e22f
+        Dcc = jnp.maximum(jnp.sqrt(d_cc ** 2 + ((e11 - e22) ** 2 + 4 * e12c ** 2) * e_inv2), d_min)
+        Dff = jnp.maximum(jnp.sqrt(d_ff ** 2 + ((e11f - e22f) ** 2 + 4 * e12 ** 2) * e_inv2), d_min)
+        zcc = P / (2 * Dcc)
+        zff = Pff / (2 * Dff)
+        Pr = jnp.where(repl > 0, P * Dcc / (Dcc + d_min), P)
+        eta_cc = zcc * e_inv2
+        eta_ff = zff * e_inv2
+        iso = (zcc - eta_cc) * d_cc - Pr * 0.5
+        s11_t = 2 * eta_cc * e11 + iso
+        s22_t = 2 * eta_cc * e22 + iso
+        s12_t = 2 * eta_ff * e12
+        gamma_cc = jnp.where(gcc > 0, jnp.clip(jnp.sqrt(jnp.abs(zcc * gcc)), a_min, a_max), a_max)
+        gamma_ff = jnp.where(gff > 0, jnp.clip(jnp.sqrt(jnp.abs(zff * gff)), a_min, a_max), a_max)
+        s11 = s11 + jnp.where(gcc > 0, (s11_t - s11) / gamma_cc, 0.0)
+        s22 = s22 + jnp.where(gcc > 0, (s22_t - s22) / gamma_cc, 0.0)
+        s12 = s12 + jnp.where(gff > 0, (s12_t - s12) / gamma_ff, 0.0)
+        alpha = gamma_cc
+
+        def u_update(u, v):
+            div_x = (s11 - sp(s11, 0)) * inv_dx + (sm(s12, 1) - s12) * inv_dy
+            v_fc = ixf_(iyc_(v))
+            du = ue - u
+            dv = ve - v_fc
+            speed = jnp.sqrt(du * du + dv * dv)
+            Gu = (f_cor * v_fc - tau_u_top * drag_u + rC * speed * ue * drag_u
+                  + div_x * invm_u + (un - u) / dt)
+            Gu = jnp.where(ok_u, Gu, 0.0)
+            dtau = dt / ixf_(alpha)
+            return (u + dtau * Gu) / (1 + dtau * rC * speed * drag_u) * act_u
+
+        def v_update(u, v):
+            div_y = (s22 - sp(s22, 1)) * inv_dy + (sm(s12, 0) - s12) * inv_dx
+            u_cf = ixc_(iyf_(u))
+            dv = ve - v
+            du = ue - u_cf
+            speed = jnp.sqrt(du * du + dv * dv)
+            Gv = (-f_cor * u_cf - tau_v_top * drag_v + rC * speed * ve * drag_v
+                  + div_y * invm_v + (vn - v) / dt)
+            Gv = jnp.where(ok_v, Gv, 0.0)
+            dtau = dt / iyf_(alpha)
+            return (v + dtau * Gv) / (1 + dtau * rC * speed * drag_v) * act_v
+
+        substep = base + (i + 1).astype(jnp.float32)
+
+        def even_order(uv):
+            u, v = uv
+            u2 = u_update(u, v)
+            v2 = v_update(u2, v)
+            return u2, v2
+
+        def odd_order(uv):
+            u, v = uv
+            v2 = v_update(u, v)
+            u2 = u_update(u, v2)
+            return u2, v2
+
+        is_even = jnp.mod(substep, 2.0) < 0.5
+        u, v = lax.cond(is_even, even_order, odd_order, (u, v))
+        return (u, v, s11, s22, s12, alpha)
+
+    init = (u_ref[:], v_ref[:], s11_ref[:], s22_ref[:], s12_ref[:], al_ref[:])
+    u, v, s11, s22, s12, alpha = lax.fori_loop(0, K, body, init)
+
+    sl = slice(W, W + TX)
+    o_u_ref[:] = u[sl]
+    o_v_ref[:] = v[sl]
+    o_s11_ref[:] = s11[sl]
+    o_s22_ref[:] = s22[sl]
+    o_s12_ref[:] = s12[sl]
+    o_al_ref[:] = alpha[sl]
+
+
+def _slabs(q, n_tiles, TX, W):
+    """(N, ny) x-periodic array → (n_tiles·(TX+2W), ny): contiguous
+    halo-extended slabs, so non-overlapping BlockSpec blocks each get one."""
+    ext = jnp.concatenate([q[-W:], q, q[:W]], axis=0)
+    return jnp.concatenate(
+        [lax.dynamic_slice_in_dim(ext, i * TX, TX + 2 * W, 0)
+         for i in range(n_tiles)], axis=0)
+
+
+def tiled_chunked_evp(nsub, params, m, a, P, un, vn,
+                      u, v, s11, s22, s12, alpha, interpret=False):
+    """Run ``nsub`` substeps in chunks of CHUNK_SUBSTEPS over TILE_ROWS-row
+    x-slabs.  Operands are interior-only (N, ny) f32 arrays; returns the six
+    updated carry arrays.  Requires N % TILE_ROWS == 0 and
+    nsub % CHUNK_SUBSTEPS == 0 (checked by the caller)."""
+    N, ny = u.shape
+    TX = TILE_ROWS
+    n_tiles = N // TX
+    K = CHUNK_SUBSTEPS
+    W = 2 * K + 3
+    while (TX + 2 * W) % 8:  # Mosaic needs sublane-divisible block rows
+        W += 1
+    n_chunks = nsub // K
+
+    kernel = functools.partial(_tiled_kernel, K, TX, W)
+    blk_in = pl.BlockSpec((TX + 2 * W, ny), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    blk_out = pl.BlockSpec((TX, ny), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+
+    const_slabs = [_slabs(q, n_tiles, TX, W) for q in (m, a, P, un, vn)]
+
+    def chunk(carry, k_chunk):
+        u, v, s11, s22, s12, alpha = carry
+        params_c = params.at[_P_PARITY].set((k_chunk * K).astype(jnp.float32))
+        carry_slabs = [_slabs(q, n_tiles, TX, W)
+                       for q in (u, v, s11, s22, s12, alpha)]
+        outs = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            out_shape=[jax.ShapeDtypeStruct((N, ny), jnp.float32)] * 6,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [blk_in] * 11,
+            out_specs=[blk_out] * 6,
+            interpret=interpret,
+        )(params_c, *const_slabs, *carry_slabs)
+        return tuple(outs), None
+
+    carry = (u, v, s11, s22, s12, alpha)
+    carry, _ = lax.scan(chunk, carry, jnp.arange(n_chunks))
+    return carry

@@ -75,3 +75,97 @@ def test_fused_stiff_regime_stays_physical():
         b = np.asarray(I(getattr(state_j, name)))
         assert np.isfinite(a).all()
         assert np.abs(a - b).max() < tol * max(np.abs(b).max(), 1.0)
+
+
+def _build_square(fused, substeps=8, N=128):
+    km = 1000.0
+    grid = csi.RectilinearGrid(size=(N, N), x=(0, 100 * km), y=(0, 100 * km),
+                               halo=5, dtype="float32",
+                               topology=("periodic", "periodic"))
+    dynamics = csi.SeaIceMomentumEquation(
+        rheology=csi.ElastoViscoPlasticRheology(ice_compressive_strength=27.5),
+        coriolis=csi.FPlane(f=1e-4),
+        top_momentum_stress={"u": 0.05, "v": 0.02},
+        bottom_momentum_stress=csi.SemiImplicitStress(ue=0.1, ve=-0.05),
+        solver=csi.SplitExplicitSolver(substeps=substeps, fused=fused))
+    model = csi.sea_ice_model(grid, dynamics=dynamics, ice_thermodynamics=None,
+                              advection=csi.WENO(order=5),
+                              timestepper="ForwardEuler")
+
+    def h0(x, y):
+        return 0.5 + 0.2 * np.sin(2 * np.pi * x / (100 * km)) * np.cos(2 * np.pi * y / (100 * km))
+
+    state = csi.initial_state(model, h=h0, a=1.0, u=0.02)
+    return model, state
+
+
+def test_tiled_kernel_bitwise_matches_lean():
+    """The tiled substep-chunked kernel is bit-identical to the monolithic
+    lean kernel on the same inputs (same math, different HBM staging and
+    validity-shrinking overlap — the staging must not change a single bit)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import climaseaice_jl_tpu.dynamics.pallas_evp as pe
+    import climaseaice_jl_tpu.dynamics.pallas_evp_tiled as pt
+
+    rng = np.random.default_rng(0)
+    N = ny = 128
+    f32 = jnp.float32
+    mk = lambda s=1.0, o=0.0: jnp.asarray(rng.random((N, ny)), f32) * s + o
+    m, a, P = mk(500., 100.), mk(0.5, 0.5), mk(1000., 10.)
+    un, vn = mk(0.02), mk(0.02)
+    u, v = un, vn
+    s11, s22, s12, al = mk(0.), mk(0.), mk(0.), mk(0., 300.)
+    params = (jnp.zeros(18, f32)
+              .at[pe._P_DT].set(60.).at[pe._P_DX].set(1000.).at[pe._P_DY].set(1000.)
+              .at[pe._P_F].set(1e-4).at[pe._P_TAUU].set(0.05).at[pe._P_TAUV].set(0.02)
+              .at[pe._P_RC].set(5.0).at[pe._P_UE].set(0.1).at[pe._P_VE].set(-0.05)
+              .at[pe._P_EINV2].set(0.25).at[pe._P_AMIN].set(50.).at[pe._P_AMAX].set(300.)
+              .at[pe._P_CALPHA].set(9.87).at[pe._P_DMIN].set(2e-9)
+              .at[pe._P_MASSMIN].set(1.0).at[pe._P_CONCMIN].set(1e-3)
+              .at[pe._P_REPL].set(1.0))
+
+    nsub = 16  # two chunks
+    kernel = functools.partial(pe._evp_kernel_lean, nsub)
+    lean = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((N, ny), f32)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        interpret=True)(params, m, a, P, un, vn, u, v, s11, s22, s12, al)
+    tiled = pt.tiled_chunked_evp(nsub, params, m, a, P, un, vn,
+                                 u, v, s11, s22, s12, al, interpret=True)
+    for name, x, y in zip(("u", "v", "s11", "s22", "s12", "alpha"), lean, tiled):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=name)
+
+
+def test_tiled_dispatch_stays_physical(monkeypatch):
+    """Tiled dispatch through the model: finite and physically close to the
+    rich whole-loop kernel.  (Tight agreement is impossible: near-uniform
+    flow puts Δ ≈ sum of cancelling strain terms, so the γ(1/Δ) relaxation
+    amplifies the two kernels' f32 formula-grouping differences.)"""
+    import climaseaice_jl_tpu.dynamics.pallas_evp as pe
+
+    import jax
+
+    model_r, state_r = _build_square("always", substeps=8)
+    s_r = csi.step(model_r, state_r, 60.0)
+
+    monkeypatch.setattr(pe, "_MAX_POINTS_RICH", 0)  # force tiled dispatch
+    jax.clear_caches()  # identical treedef/shapes would reuse the rich executable
+    model_l, state_l = _build_square("always", substeps=8)
+    s_l = csi.step(model_l, state_l, 60.0)
+
+    I = model_r.grid.interior
+    vel_scale = max(np.abs(np.asarray(I(s_r.u))).max(),
+                    np.abs(np.asarray(I(s_r.v))).max())
+    for name, tol in (("u", 5e-3), ("v", 5e-3), ("h", 1e-6)):
+        a = np.asarray(I(getattr(s_r, name)))
+        b = np.asarray(I(getattr(s_l, name)))
+        assert np.isfinite(b).all()
+        scale = vel_scale if name in ("u", "v") else max(np.abs(a).max(), 1e-8)
+        assert np.abs(a - b).max() / scale < tol, name
