@@ -105,9 +105,16 @@ class Simulation:
 
         t0 = _time.perf_counter()
         steps0 = self.iteration
+        first_step_done = False
         self._fire()
         while not self.should_stop():
             self.state = _jitted_step(self.model, self.state, self.dt)
+            if not first_step_done:
+                # exclude the first (compile-bearing) step from the rate
+                jax.block_until_ready(self.state.h)
+                t0 = _time.perf_counter()
+                steps0 = self.iteration
+                first_step_done = True
             if self.check_nans and self.iteration % 100 == 0:
                 h = np.asarray(self.model.grid.interior(self.state.h))
                 if np.any(np.isnan(h)):
