@@ -53,7 +53,9 @@ _MAX_POINTS_TILED = 4_194_304
 
 def _tiled_eligible(grid, nsub):
     from .pallas_evp_tiled import TILE_ROWS, CHUNK_SUBSTEPS
+    # ny caps at 1024: one (TX+2W, ny) slab row-set must fit VMEM even at TX=8
     return (grid.Nx % TILE_ROWS == 0 and nsub % CHUNK_SUBSTEPS == 0
+            and grid.Ny <= 1024
             and grid.Nx * grid.Ny <= _MAX_POINTS_TILED)
 
 

@@ -35,7 +35,22 @@ from .pallas_evp import (_P_DT, _P_DX, _P_DY, _P_F, _P_TAUU, _P_TAUV, _P_RC,
 _P_PARITY = 17  # spare params slot: global substep offset of the chunk
 
 CHUNK_SUBSTEPS = 8           # K: substeps per chunk
-TILE_ROWS = 128              # TX: interior rows per slab
+TILE_ROWS = 128              # TX: max interior rows per slab
+_VMEM_BUDGET = 13 * 2 ** 20  # leave headroom under the 16 MB scoped limit
+
+
+def _pick_tile_rows(N, ny, K):
+    """Largest TX ∈ {128, 64, 32, 16, 8} dividing N whose slab working set
+    fits the VMEM budget.  The multiplier (~27 live (TX+2W, ny) f32 arrays)
+    is calibrated against Mosaic's measured scoped allocation (19.17 MB for
+    a (166, 1024) slab)."""
+    W = 2 * K + 3
+    for TX in (TILE_ROWS, 64, 32, 16, 8):
+        if N % TX:
+            continue
+        if 27 * (TX + 2 * W + 8) * ny * 4 <= _VMEM_BUDGET:
+            return TX
+    return 8
 
 
 def _tiled_kernel(K, TX, W, params_ref,
@@ -193,13 +208,23 @@ def _tiled_kernel(K, TX, W, params_ref,
     o_al_ref[:] = alpha[sl]
 
 
+import numpy as _np
+
+
+def _slab_indices(N, n_tiles, TX, W):
+    """Static row-gather indices building all halo-extended slabs at once."""
+    rows = []
+    for i in range(n_tiles):
+        rows.append((_np.arange(i * TX - W, i * TX + TX + W)) % N)
+    return _np.concatenate(rows)
+
+
 def _slabs(q, n_tiles, TX, W):
     """(N, ny) x-periodic array → (n_tiles·(TX+2W), ny): contiguous
-    halo-extended slabs, so non-overlapping BlockSpec blocks each get one."""
-    ext = jnp.concatenate([q[-W:], q, q[:W]], axis=0)
-    return jnp.concatenate(
-        [lax.dynamic_slice_in_dim(ext, i * TX, TX + 2 * W, 0)
-         for i in range(n_tiles)], axis=0)
+    halo-extended slabs (one static gather), so non-overlapping BlockSpec
+    blocks each get one."""
+    idx = _slab_indices(q.shape[0], n_tiles, TX, W)
+    return q[idx]
 
 
 def tiled_chunked_evp(nsub, params, m, a, P, un, vn,
@@ -209,9 +234,9 @@ def tiled_chunked_evp(nsub, params, m, a, P, un, vn,
     updated carry arrays.  Requires N % TILE_ROWS == 0 and
     nsub % CHUNK_SUBSTEPS == 0 (checked by the caller)."""
     N, ny = u.shape
-    TX = TILE_ROWS
-    n_tiles = N // TX
     K = CHUNK_SUBSTEPS
+    TX = _pick_tile_rows(N, ny, K)
+    n_tiles = N // TX
     W = 2 * K + 3
     while (TX + 2 * W) % 8:  # Mosaic needs sublane-divisible block rows
         W += 1
