@@ -20,6 +20,8 @@ Jiang–Shu WENO-5, Balsara–Shu WENO-7), written against the face convention
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 
 from .utils import pytree_dataclass, static_field
@@ -95,6 +97,14 @@ def _upwind_faces(c, axis, order):
         right = (-3 * p(3) + 25 * p(2) - 101 * p(1) + 319 * c
                  + 214 * m(1) - 38 * m(2) + 4 * m(3)) / 420
         return left, right
+    if order == 9:
+        left = (4 * m(5) - 41 * m(4) + 199 * m(3) - 641 * m(2)
+                + 1879 * m(1) + 1375 * c - 305 * p(1) + 55 * p(2)
+                - 5 * p(3)) / 2520
+        right = (4 * p(4) - 41 * p(3) + 199 * p(2) - 641 * p(1)
+                 + 1879 * c + 1375 * m(1) - 305 * m(2) + 55 * m(3)
+                 - 5 * m(4)) / 2520
+        return left, right
     raise ValueError(f"unsupported UpwindBiased order {order}")
 
 
@@ -108,66 +118,142 @@ def _centered_face(c, axis, order):
     raise ValueError(f"unsupported Centered order {order}")
 
 
+def _weno_tables(r):
+    """Exact WENO-(2r−1) coefficient tables via Fraction arithmetic.
+
+    Face convention: the face sits at x = 1/2 of the donor cell [−1/2, 1/2]
+    (unit spacing).  Candidate stencil k (k = 0..r−1) covers cells at integer
+    offsets o = k−r+1 .. k relative to the donor.
+
+    Returns (C, G, B):
+      C[k][j]      — face-value reconstruction coefficients of stencil k,
+      G[k]         — optimal (linear) weights,
+      B[k][j1][j2] — Jiang–Shu smoothness-indicator quadratic form:
+                     β_k = Σ_{l=1..r−1} ∫_{−1/2}^{1/2} (q_k^{(l)})² dx.
+
+    Cross-validated against the classic closed forms: r=3 gives
+    G = (1/10, 6/10, 3/10) and the Jiang–Shu β (tests/test_advection.py).
+    """
+    from fractions import Fraction as F
+
+    def basis(offsets):
+        """Dual basis φ_j (degree len−1 polys, monomial coeffs) with
+        ∫_{o−1/2}^{o+1/2} φ_j = δ_{jo}."""
+        n = len(offsets)
+        # A[m][c] = ∫ x^c over cell m
+        A = [[(F(2 * o + 1, 2) ** (c + 1) - F(2 * o - 1, 2) ** (c + 1)) / (c + 1)
+              for c in range(n)] for o in offsets]
+        # invert A (row j of inverse gives φ_j coefficients)
+        import copy
+        M = copy.deepcopy(A)
+        Inv = [[F(int(i == j)) for j in range(n)] for i in range(n)]
+        for col in range(n):
+            piv = next(row for row in range(col, n) if M[row][col] != 0)
+            M[col], M[piv] = M[piv], M[col]
+            Inv[col], Inv[piv] = Inv[piv], Inv[col]
+            d = M[col][col]
+            M[col] = [x / d for x in M[col]]
+            Inv[col] = [x / d for x in Inv[col]]
+            for row in range(n):
+                if row != col and M[row][col] != 0:
+                    f = M[row][col]
+                    M[row] = [a - f * b for a, b in zip(M[row], M[col])]
+                    Inv[row] = [a - f * b for a, b in zip(Inv[row], Inv[col])]
+        # φ_j coeffs: columns of Inv (solve Aᵀ? A[m][c]·φcoef[c] = δ) →
+        # coefficients of φ_j are the j-th column of A⁻¹
+        return [[Inv[c][j] for c in range(n)] for j in range(n)]
+
+    def poly_eval(coeffs, x):
+        return sum(c * x ** p for p, c in enumerate(coeffs))
+
+    def poly_deriv(coeffs):
+        return [c * p for p, c in enumerate(coeffs)][1:]
+
+    def poly_mul_int(c1, c2):
+        """∫_{−1/2}^{1/2} p1·p2 dx."""
+        prod = [F(0)] * (len(c1) + len(c2) - 1)
+        for i, a in enumerate(c1):
+            for j, b in enumerate(c2):
+                prod[i + j] += a * b
+        half = F(1, 2)
+        return sum(c * (half ** (p + 1) - (-half) ** (p + 1)) / (p + 1)
+                   for p, c in enumerate(prod))
+
+    C, B = [], []
+    for k in range(r):
+        offsets = list(range(k - r + 1, k + 1))
+        phis = basis(offsets)
+        C.append([poly_eval(phi, F(1, 2)) for phi in phis])
+        Bk = [[F(0)] * r for _ in range(r)]
+        for j1 in range(r):
+            for j2 in range(r):
+                d1, d2 = phis[j1], phis[j2]
+                for _l in range(r - 1):
+                    d1, d2 = poly_deriv(d1), poly_deriv(d2)
+                    Bk[j1][j2] += poly_mul_int(d1, d2)
+        B.append(Bk)
+
+    # optimal weights from the (2r−1)-cell big-stencil reconstruction
+    big_offsets = list(range(-r + 1, r))
+    big_phis = basis(big_offsets)
+    D = {o: poly_eval(big_phis[i], F(1, 2)) for i, o in enumerate(big_offsets)}
+    G = [F(0)] * r
+    for o in big_offsets[:r]:  # triangular solve from the leftmost cell
+        k_list = [k for k in range(r) if k - r + 1 <= o <= k]
+        acc = D[o]
+        for k in k_list[:-1]:  # smaller k already solved
+            acc -= G[k] * C[k][o - (k - r + 1)]
+        k = k_list[-1]
+        G[k] = acc / C[k][o - (k - r + 1)]
+
+    to_f = lambda x: float(x)
+    return ([[to_f(c) for c in row] for row in C],
+            [to_f(g) for g in G],
+            [[[to_f(x) for x in row] for row in Bk] for Bk in B])
+
+
+@functools.lru_cache(maxsize=None)
+def _weno_tables_cached(r):
+    return _weno_tables(r)
+
+
+def _weno_side(s, r, eps_):
+    """One-sided WENO-(2r−1) from the (2r−1)-point stencil listed
+    upwind→downwind (donor cell is s[r−1])."""
+    C, G, B = _weno_tables_cached(r)
+    num = 0.0
+    den = 0.0
+    for k in range(r):
+        cells = s[k:k + r]
+        q = sum(C[k][j] * cells[j] for j in range(r))
+        beta = sum(B[k][j1][j2] * cells[j1] * cells[j2]
+                   for j1 in range(r) for j2 in range(r) if B[k][j1][j2] != 0.0)
+        w = G[k] / (eps_ + beta) ** 2
+        num = num + w * q
+        den = den + w
+    return num / den
+
+
 def _weno5_side(s, eps_):
     """One-sided WENO-5 from the 5-point stencil ``s`` listed upwind→downwind:
     s = (c[I-3], c[I-2], c[I-1], c[I], c[I+1]) for the left-biased value."""
-    a, b, cc, d, e = s
-    v0 = (2 * a - 7 * b + 11 * cc) / 6
-    v1 = (-b + 5 * cc + 2 * d) / 6
-    v2 = (2 * cc + 5 * d - e) / 6
-    b0 = 13 / 12 * (a - 2 * b + cc) ** 2 + 0.25 * (a - 4 * b + 3 * cc) ** 2
-    b1 = 13 / 12 * (b - 2 * cc + d) ** 2 + 0.25 * (b - d) ** 2
-    b2 = 13 / 12 * (cc - 2 * d + e) ** 2 + 0.25 * (3 * cc - 4 * d + e) ** 2
-    w0 = 0.1 / (eps_ + b0) ** 2
-    w1 = 0.6 / (eps_ + b1) ** 2
-    w2 = 0.3 / (eps_ + b2) ** 2
-    ws = w0 + w1 + w2
-    return (w0 * v0 + w1 * v1 + w2 * v2) / ws
-
-
-def _weno7_side(s, eps_):
-    """One-sided WENO-7 (Balsara & Shu 2000) from the 7-point stencil listed
-    upwind→downwind: (c[I-4], ..., c[I+2]) for the left-biased value."""
-    u1, u2, u3, u4, u5, u6, u7 = s
-    q0 = (-3 * u1 + 13 * u2 - 23 * u3 + 25 * u4) / 12
-    q1 = (u2 - 5 * u3 + 13 * u4 + 3 * u5) / 12
-    q2 = (-u3 + 7 * u4 + 7 * u5 - u6) / 12
-    q3 = (3 * u4 + 13 * u5 - 5 * u6 + u7) / 12
-
-    b0 = (u1 * (547 * u1 - 3882 * u2 + 4642 * u3 - 1854 * u4)
-          + u2 * (7043 * u2 - 17246 * u3 + 7042 * u4)
-          + u3 * (11003 * u3 - 9402 * u4) + 2107 * u4 ** 2)
-    b1 = (u2 * (267 * u2 - 1642 * u3 + 1602 * u4 - 494 * u5)
-          + u3 * (2843 * u3 - 5966 * u4 + 1922 * u5)
-          + u4 * (3443 * u4 - 2522 * u5) + 547 * u5 ** 2)
-    b2 = (u3 * (547 * u3 - 2522 * u4 + 1922 * u5 - 494 * u6)
-          + u4 * (3443 * u4 - 5966 * u5 + 1602 * u6)
-          + u5 * (2843 * u5 - 1642 * u6) + 267 * u6 ** 2)
-    b3 = (u4 * (2107 * u4 - 9402 * u5 + 7042 * u6 - 1854 * u7)
-          + u5 * (11003 * u5 - 17246 * u6 + 4642 * u7)
-          + u6 * (7043 * u6 - 3882 * u7) + 547 * u7 ** 2)
-
-    g = (1 / 35, 12 / 35, 18 / 35, 4 / 35)
-    w0 = g[0] / (eps_ + b0) ** 2
-    w1 = g[1] / (eps_ + b1) ** 2
-    w2 = g[2] / (eps_ + b2) ** 2
-    w3 = g[3] / (eps_ + b3) ** 2
-    ws = w0 + w1 + w2 + w3
-    return (w0 * q0 + w1 * q1 + w2 * q2 + w3 * q3) / ws
+    return _weno_side(s, 3, eps_)
 
 
 def _weno_faces(c, axis, order, eps_):
     m = lambda k: _cm(c, axis, k)
     p = lambda k: _cp(c, axis, k)
-    if order == 5:
-        left = _weno5_side((m(3), m(2), m(1), c, p(1)), eps_)
-        right = _weno5_side((p(2), p(1), c, m(1), m(2)), eps_)
-        return left, right
-    if order == 7:
-        left = _weno7_side((m(4), m(3), m(2), m(1), c, p(1), p(2)), eps_)
-        right = _weno7_side((p(3), p(2), p(1), c, m(1), m(2), m(3)), eps_)
-        return left, right
-    raise ValueError(f"unsupported WENO order {order}")
+    if order not in (5, 7, 9):
+        raise ValueError(f"unsupported WENO order {order}")
+    r = (order + 1) // 2
+    # left-biased stencil: cells I−r .. I+r−2 (donor I−1); right-biased mirrors
+    left_stencil = (tuple(m(r - j) for j in range(r))
+                    + (c,) + tuple(p(j) for j in range(1, r - 1)))
+    right_stencil = (tuple(p(r - 1 - j) for j in range(r - 1))
+                     + (c,) + tuple(m(j) for j in range(1, r)))
+    left = _weno_side(left_stencil, r, eps_)
+    right = _weno_side(right_stencil, r, eps_)
+    return left, right
 
 
 def reconstruct_face(scheme, c, axis):

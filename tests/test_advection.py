@@ -10,14 +10,15 @@ from climaseaice_jl_tpu.fields import fill_halos_cc
 
 SCHEMES = [csi.Centered(order=2), csi.UpwindBiased(order=1),
            csi.UpwindBiased(order=3), csi.UpwindBiased(order=5),
-           csi.UpwindBiased(order=7), csi.WENO(order=5), csi.WENO(order=7)]
-IDS = ["C2", "UB1", "UB3", "UB5", "UB7", "WENO5", "WENO7"]
+           csi.UpwindBiased(order=7), csi.UpwindBiased(order=9),
+           csi.WENO(order=5), csi.WENO(order=7), csi.WENO(order=9)]
+IDS = ["C2", "UB1", "UB3", "UB5", "UB7", "UB9", "WENO5", "WENO7", "WENO9"]
 
 
 @pytest.mark.parametrize("scheme", SCHEMES, ids=IDS)
 def test_constancy_preservation(scheme):
     """Uniform tracer in a divergence-free velocity field has zero tendency."""
-    grid = csi.RectilinearGrid(size=(16, 16), x=(0, 1), y=(0, 1))
+    grid = csi.RectilinearGrid(size=(16, 16), x=(0, 1), y=(0, 1), halo=5)
     c = grid.new_field() + 3.7
     u = grid.new_field() + 0.5
     v = grid.new_field() - 0.25
@@ -28,7 +29,7 @@ def test_constancy_preservation(scheme):
 @pytest.mark.parametrize("scheme", SCHEMES, ids=IDS)
 def test_conservation_periodic(scheme):
     """Flux-form divergence sums to zero over a periodic domain."""
-    grid = csi.RectilinearGrid(size=(32, 32), x=(0, 1), y=(0, 1))
+    grid = csi.RectilinearGrid(size=(32, 32), x=(0, 1), y=(0, 1), halo=5)
     rng = np.random.default_rng(42)
     c = fill_halos_cc(grid.set_interior(grid.new_field(), rng.random((32, 32))), grid)
     u = grid.new_field() + 0.3
@@ -85,3 +86,39 @@ def test_weno_no_oscillations():
     c = np.asarray(grid.interior(state.h))
     assert c.max() < 1.0 + 5e-2
     assert c.min() > -5e-2
+
+
+def test_weno_tables_match_classic_forms():
+    """Generated WENO coefficient tables reproduce the classic closed forms."""
+    from fractions import Fraction as F
+    from climaseaice_jl_tpu.advection import _weno_tables
+
+    C, G, B = _weno_tables(3)
+    np.testing.assert_allclose(G, [0.1, 0.6, 0.3], rtol=1e-14)
+    np.testing.assert_allclose(C[0], [1 / 3, -7 / 6, 11 / 6], rtol=1e-14)
+    # Jiang–Shu β₀ = 13/12 (a−2b+c)² + 1/4 (a−4b+3c)²
+    a, b, c = 0.3, -1.2, 2.7
+    u = np.array([a, b, c])
+    js = 13 / 12 * (a - 2 * b + c) ** 2 + 0.25 * (a - 4 * b + 3 * c) ** 2
+    np.testing.assert_allclose(u @ np.array(B[0]) @ u, js, rtol=1e-13)
+
+    _, G7, _ = _weno_tables(4)
+    np.testing.assert_allclose(G7, [1 / 35, 12 / 35, 18 / 35, 4 / 35], rtol=1e-14)
+    _, G9, _ = _weno_tables(5)
+    np.testing.assert_allclose(G9, [1 / 126, 10 / 63, 10 / 21, 20 / 63, 5 / 126],
+                               rtol=1e-14)
+
+
+def test_upwind9_matches_weno_big_stencil():
+    """UB9 coefficients must equal the assembled WENO-9 big-stencil
+    reconstruction Σ γ_k q_k."""
+    from climaseaice_jl_tpu.advection import _weno_tables, _upwind_faces
+    C, G, _ = _weno_tables(5)
+    # assemble big-stencil coefficients over cells I-5..I+3
+    big = np.zeros(9)
+    for k in range(5):
+        for j in range(5):
+            big[k + j] += G[k] * C[k][j]
+    # hand coefficients from _upwind_faces (order 9, left-biased)
+    hand = np.array([4, -41, 199, -641, 1879, 1375, -305, 55, -5]) / 2520.0
+    np.testing.assert_allclose(big, hand, rtol=1e-12)

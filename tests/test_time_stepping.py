@@ -98,3 +98,29 @@ def test_free_drift_only_dynamics():
     state = csi.step(model, state, 60.0)
     u = np.asarray(grid.interior(state.u))
     assert np.allclose(u, 0.2)  # zero top stress → ice moves with the ocean
+
+
+def test_evp_on_latitude_longitude_grid():
+    """Full EVP + advection on curvilinear (lat-lon) metrics stays finite and
+    physical — exercises the general metric-aware operators end-to-end."""
+    grid = csi.LatitudeLongitudeGrid(size=(24, 16), longitude=(0, 360),
+                                     latitude=(60, 84),
+                                     topology=("periodic", "bounded"), halo=4)
+    dynamics = csi.SeaIceMomentumEquation(
+        rheology=csi.ElastoViscoPlasticRheology(),
+        coriolis=csi.BetaPlane(f0=1.4e-4, beta=0.0),
+        top_momentum_stress={"u": 0.05, "v": 0.0},
+        bottom_momentum_stress=csi.SemiImplicitStress(),
+        solver=csi.SplitExplicitSolver(substeps=10))
+    model = csi.sea_ice_model(grid, dynamics=dynamics,
+                              ice_thermodynamics=csi.sea_ice_slab_thermodynamics(),
+                              top_heat_flux=-20.0, bottom_heat_flux=-5.0,
+                              advection=csi.WENO(order=5))
+    state = csi.initial_state(model, h=1.0, a=1.0)
+    for _ in range(5):
+        state = csi.step(model, state, 300.0)
+    I = grid.interior
+    for name in ("u", "v", "h", "a", "Tu"):
+        q = np.asarray(I(getattr(state, name)))
+        assert np.isfinite(q).all(), name
+    assert np.abs(np.asarray(I(state.u))).max() < 1.0  # physical speeds
