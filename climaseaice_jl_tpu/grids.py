@@ -275,6 +275,128 @@ def LatitudeLongitudeGrid(size, longitude=(0.0, 360.0), latitude=(-80.0, 80.0),
     )
 
 
+def _gc_dist(lam1, phi1, lam2, phi2, radius):
+    """Great-circle distance between (λ, φ) points in degrees."""
+    d = np.pi / 180.0
+    l1, p1, l2, p2 = lam1 * d, phi1 * d, lam2 * d, phi2 * d
+    s = (np.sin((p2 - p1) / 2) ** 2
+         + np.cos(p1) * np.cos(p2) * np.sin((l2 - l1) / 2) ** 2)
+    return 2 * radius * np.arcsin(np.minimum(1.0, np.sqrt(s)))
+
+
+def CurvilinearGrid(corner_longitude, corner_latitude,
+                    topology=(PERIODIC, BOUNDED), halo=4, dtype="float64",
+                    radius=EARTH_RADIUS, north_fold=False):
+    """General curvilinear (orthogonal spherical shell) grid from corner-node
+    coordinate arrays — the machinery behind Oceananigans'
+    `OrthogonalSphericalShellGrid`/`TripolarGrid` (SURVEY.md §2.3).
+
+    ``corner_longitude``/``corner_latitude``: (Nx+1, Ny+1) arrays of the cell
+    corner (f,f) node coordinates in degrees.  With periodic x, column Nx must
+    duplicate column 0's physical position (seam closure).
+
+    Staggered metric arrays are built from great-circle distances:
+    Δx along the cell at each y-location, Δy along the cell at each
+    x-location, and Az ≈ Δx·Δy at each staggered location.  Because the
+    stress-divergence/strain operators are *algebraically* adjoint for any
+    positive metric set, the SBP energy identity holds on any grid built
+    here (tests/test_rheology_energy_budget.py covers the lat-lon case,
+    tests/test_curvilinear.py a warped grid).
+    """
+    lam = np.asarray(corner_longitude, float)
+    phi = np.asarray(corner_latitude, float)
+    Nx, Ny = lam.shape[0] - 1, lam.shape[1] - 1
+    topo = (_topo(topology[0]), _topo(topology[1]))
+    Hx = 0 if topo[0] == FLAT else halo
+    Hy = 0 if topo[1] == FLAT else halo
+    npdt = np.dtype(dtype)
+
+    # midpoints and centers from corners (index [i, j] = corner i-1/2, j-1/2)
+    lam_xm = 0.5 * (lam[:-1] + lam[1:])          # y-face midpoints (c,f): (Nx, Ny+1)
+    phi_xm = 0.5 * (phi[:-1] + phi[1:])
+    lam_ym = 0.5 * (lam[:, :-1] + lam[:, 1:])    # x-face midpoints (f,c): (Nx+1, Ny)
+    phi_ym = 0.5 * (phi[:, :-1] + phi[:, 1:])
+    lam_c = 0.25 * (lam[:-1, :-1] + lam[1:, :-1] + lam[:-1, 1:] + lam[1:, 1:])
+    phi_c = 0.25 * (phi[:-1, :-1] + phi[1:, :-1] + phi[:-1, 1:] + phi[1:, 1:])
+
+    # --- interior metric arrays ------------------------------------------------
+    # Δx at (c,c): between the cell's west/east x-face midpoints
+    dx_cc = _gc_dist(lam_ym[:-1], phi_ym[:-1], lam_ym[1:], phi_ym[1:], radius)
+    # Δx at (c,f): length of the y-face (corner to corner)
+    dx_cf_i = _gc_dist(lam[:-1], phi[:-1], lam[1:], phi[1:], radius)  # (Nx, Ny+1)
+    # Δx at (f,c): between adjacent cell centers (periodic wrap in x)
+    cm = np.roll(lam_c, 1, 0), np.roll(phi_c, 1, 0)
+    dx_fc = _gc_dist(cm[0], cm[1], lam_c, phi_c, radius)              # (Nx, Ny)
+    # Δx at (f,f): between adjacent y-face midpoints
+    xm_m = np.roll(lam_xm, 1, 0), np.roll(phi_xm, 1, 0)
+    dx_ff_i = _gc_dist(xm_m[0], xm_m[1], lam_xm, phi_xm, radius)      # (Nx, Ny+1)
+
+    # Δy at (c,c): between south/north y-face midpoints
+    dy_cc = _gc_dist(lam_xm[:, :-1], phi_xm[:, :-1], lam_xm[:, 1:], phi_xm[:, 1:], radius)
+    # Δy at (f,c): length of the x-face
+    dy_fc_i = _gc_dist(lam[:, :-1], phi[:, :-1], lam[:, 1:], phi[:, 1:], radius)  # (Nx+1, Ny)
+    # Δy at (c,f): between adjacent cell centers in y (edge rows clamped)
+    dy_cf_i = np.empty((Nx, Ny + 1))
+    dy_cf_i[:, 1:-1] = _gc_dist(lam_c[:, :-1], phi_c[:, :-1], lam_c[:, 1:], phi_c[:, 1:], radius)
+    dy_cf_i[:, 0] = dy_cf_i[:, 1]
+    dy_cf_i[:, -1] = dy_cf_i[:, -2]
+    # Δy at (f,f): between adjacent x-face midpoints in y (edge rows clamped)
+    dy_ff_i = np.empty((Nx + 1, Ny + 1))
+    dy_ff_i[:, 1:-1] = _gc_dist(lam_ym[:, :-1], phi_ym[:, :-1], lam_ym[:, 1:], phi_ym[:, 1:], radius)
+    dy_ff_i[:, 0] = dy_ff_i[:, 1]
+    dy_ff_i[:, -1] = dy_ff_i[:, -2]
+
+    def _pad(q_int, fc_x, fc_y):
+        """Periodic/edge-extend an interior metric array into padded form.
+        fc_x/fc_y: whether the array's first/second dim is face-located
+        (face arrays come in with Nx+1/Ny+1 entries; drop the duplicate)."""
+        q = q_int[:Nx, :Ny]
+        full = np.empty((Nx + 2 * Hx, Ny + 2 * Hy))
+        full[Hx:Hx + Nx, Hy:Hy + Ny] = q
+        if Hx:
+            if topo[0] == PERIODIC:
+                full[:Hx, Hy:Hy + Ny] = q[Nx - Hx:, :]
+                full[Hx + Nx:, Hy:Hy + Ny] = q[:Hx, :]
+            else:
+                full[:Hx, Hy:Hy + Ny] = q[:1, :]
+                full[Hx + Nx:, Hy:Hy + Ny] = q[-1:, :]
+        if Hy:
+            full[:, :Hy] = full[:, Hy:Hy + 1]
+            full[:, Hy + Ny:] = full[:, Hy + Ny - 1:Hy + Ny]
+        return jnp.asarray(full, npdt)
+
+    dx_cc_p = _pad(dx_cc, False, False)
+    dx_fc_p = _pad(dx_fc, True, False)
+    dx_cf_p = _pad(dx_cf_i, False, True)
+    dx_ff_p = _pad(dx_ff_i, True, True)
+    dy_cc_p = _pad(dy_cc, False, False)
+    dy_fc_p = _pad(dy_fc_i, True, False)
+    dy_cf_p = _pad(dy_cf_i, False, True)
+    dy_ff_p = _pad(dy_ff_i, True, True)
+
+    if north_fold:
+        if topo[0] != PERIODIC or Nx % 2:
+            raise ValueError("north_fold requires periodic x and even Nx")
+
+    # 1-D coordinate stand-ins (index space); physical coords kept as metrics
+    idx_x = np.arange(-Hx, Nx + Hx, dtype=float) + 0.5
+    idx_xf = np.arange(-Hx, Nx + Hx, dtype=float)
+    idx_y = np.arange(-Hy, Ny + Hy, dtype=float) + 0.5
+    idx_yf = np.arange(-Hy, Ny + Hy, dtype=float)
+
+    return Grid(
+        Nx=Nx, Ny=Ny, Hx=Hx, Hy=Hy, topology=topo, dtype=str(npdt),
+        kind="curvilinear", north_fold=north_fold,
+        xc=jnp.asarray(idx_x, npdt), xf=jnp.asarray(idx_xf, npdt),
+        yc=jnp.asarray(idx_y, npdt), yf=jnp.asarray(idx_yf, npdt),
+        dx_cc=dx_cc_p, dx_fc=dx_fc_p, dx_cf=dx_cf_p, dx_ff=dx_ff_p,
+        dy_cc=dy_cc_p, dy_fc=dy_fc_p, dy_cf=dy_cf_p, dy_ff=dy_ff_p,
+        az_cc=dx_cc_p * dy_cc_p, az_fc=dx_fc_p * dy_fc_p,
+        az_cf=dx_cf_p * dy_cf_p, az_ff=dx_ff_p * dy_ff_p,
+        solid_cc=None,
+    )
+
+
 def ImmersedBoundaryGrid(grid: Grid, solid_mask):
     """Attach a land mask to ``grid``.
 
