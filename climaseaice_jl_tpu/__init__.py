@@ -12,7 +12,7 @@ Design: immutable state pytree + pure jitted ``step(model, state, dt)``.
 """
 
 from .grids import (RectilinearGrid, LatitudeLongitudeGrid, ImmersedBoundaryGrid,
-                    CurvilinearGrid, with_halo, Grid)
+                    CurvilinearGrid, TripolarGrid, with_halo, Grid)
 from .state import SeaIceState, Clock, ModelFields
 from .model import (SeaIceModel, sea_ice_model, initial_state, set_fields,
                     step, step_unjitted, update_state, make_fields,

@@ -397,6 +397,75 @@ def CurvilinearGrid(corner_longitude, corner_latitude,
     )
 
 
+def TripolarGrid(size, southernmost_latitude=-80.0, transition_latitude=62.0,
+                 cap_smoothness=2.5, poles_longitude=90.0,
+                 halo=4, dtype="float64", radius=EARTH_RADIUS):
+    """Tripolar-style global grid: latitude-longitude south of
+    ``transition_latitude``, a conformal bipolar cap north of it with two
+    grid poles joined by a Zipper fold (Murray 1996-class construction;
+    Oceananigans `TripolarGrid` analog).
+
+    The cap uses **elliptic conformal coordinates** on the polar
+    stereographic plane: z = a·cosh(u + iv).  Constant-u curves are confocal
+    ellipses around both foci (the grid poles at z = ±a) that degenerate
+    onto the pole-joining segment at u = 0 — the fold seam; constant-v
+    curves are confocal hyperbolae converging into the poles.  The map is
+    conformal, so the grid is orthogonal in the cap; at the transition
+    circle the ellipse has eccentricity ~(1 − tanh u_t), so larger
+    ``cap_smoothness`` (= u_t) gives a smoother junction with the lat-lon
+    rows (default 2.5 → ~1.3 % metric kink).
+
+    ``size = (Nx, Ny)``: Nx pseudo-longitudes (even), Ny total rows; about a
+    quarter of the rows go to the cap.  ``poles_longitude``: longitude of
+    one grid pole (the other sits at +180°).
+    """
+    Nx, Ny = size
+    if Nx % 2:
+        raise ValueError("TripolarGrid requires even Nx")
+    Ny_cap = max(4, Ny // 4)
+    Ny_s = Ny - Ny_cap
+
+    deg = np.pi / 180.0
+
+    # --- south: plain lat-lon rows φ_s .. φ_t --------------------------------
+    i = np.arange(Nx + 1)
+    lam_1d = 360.0 * i / Nx  # pseudo-longitude (offset applied at the end)
+    phi_rows_s = southernmost_latitude + (transition_latitude
+                                          - southernmost_latitude) * np.arange(Ny_s + 1) / Ny_s
+
+    # --- cap: elliptic conformal coordinates on the stereographic plane ------
+    # north-polar stereographic projection: r = tan((90 − φ)/2 · deg)
+    r_t = np.tan((90.0 - transition_latitude) / 2 * deg)
+    u_t = float(cap_smoothness)
+    a = r_t / np.cosh(u_t)
+
+    lam_corners = np.empty((Nx + 1, Ny + 1))
+    phi_corners = np.empty((Nx + 1, Ny + 1))
+    lam_corners[:, :Ny_s + 1] = lam_1d[:, None]
+    phi_corners[:, :Ny_s + 1] = phi_rows_s[None, :]
+
+    v = lam_1d * deg                       # pseudo-longitude angle
+    for j in range(1, Ny_cap + 1):
+        u = u_t * (1.0 - j / Ny_cap)
+        z = a * np.cosh(u + 1j * v)
+        r = np.abs(z)
+        lam_corners[:, Ny_s + j] = np.angle(z) / deg
+        phi_corners[:, Ny_s + j] = 90.0 - 2.0 * np.arctan(r) / deg
+
+    # rotate so the grid poles sit at poles_longitude / poles_longitude+180
+    lam_corners = lam_corners + poles_longitude
+    # the south block's pseudo-longitude equals real longitude; keep the seam
+    # duplicated: column Nx = column 0 + 360 in the lat-lon block only.
+    lam_corners[Nx, :Ny_s + 1] = lam_corners[0, :Ny_s + 1] + 360.0
+    phi_corners[Nx, :] = phi_corners[0, :]
+    lam_corners[Nx, Ny_s + 1:] = lam_corners[0, Ny_s + 1:]
+
+    grid = CurvilinearGrid(lam_corners, phi_corners,
+                           topology=(PERIODIC, BOUNDED), halo=halo,
+                           dtype=dtype, radius=radius, north_fold=True)
+    return grid
+
+
 def ImmersedBoundaryGrid(grid: Grid, solid_mask):
     """Attach a land mask to ``grid``.
 
