@@ -54,7 +54,7 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 10))
 
     model, state = build(N, substeps)
-    step = jax.jit(lambda s, dt: _step(model, s, dt))
+    step = jax.jit(lambda s, dt: _step(model, s, dt), donate_argnums=(0,))
 
     dt = 120.0
     # warmup / compile

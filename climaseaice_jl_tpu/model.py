@@ -199,10 +199,7 @@ def _initial_surface_temperature(thermo, grid):
 def set_fields(model, state, **kw):
     """Functional ``set!``: overwrite interiors of prognostic fields, then
     refresh halos (`src/sea_ice_model.jl:301-315`)."""
-    updates = {}
-    for name, val in kw.items():
-        cur = getattr(state, name)
-        updates[name] = model.grid.field_from(val) if cur is None or True else cur
+    updates = {name: model.grid.field_from(val) for name, val in kw.items()}
     state = state.evolve(**updates)
     return update_state(model, state)
 
@@ -417,6 +414,9 @@ def _step(model, state, dt):
 
 
 step = jax.jit(_step)
+# Donating the state buffers saves ~6% on TPU (in-place HBM reuse); only for
+# drivers that discard the previous state (Simulation, bench).
+step_donated = jax.jit(_step, donate_argnums=(1,))
 step_unjitted = _step
 
 

@@ -13,7 +13,7 @@ import time as _time
 import numpy as np
 import jax
 
-from .model import step as _jitted_step
+from .model import step as _jitted_step, step_donated as _donated_step
 
 
 class IterationInterval:
@@ -107,8 +107,10 @@ class Simulation:
         steps0 = self.iteration
         first_step_done = False
         self._fire()
+        use_donated = jax.default_backend() not in ("cpu",)
+        stepper = _donated_step if use_donated else _jitted_step
         while not self.should_stop():
-            self.state = _jitted_step(self.model, self.state, self.dt)
+            self.state = stepper(self.model, self.state, self.dt)
             if not first_step_done:
                 # exclude the first (compile-bearing) step from the rate
                 jax.block_until_ready(self.state.h)

@@ -187,3 +187,22 @@ def test_wide_halo_rejects_small_tiles():
     model = csi.sea_ice_model(grid, dynamics=dynamics, ice_thermodynamics=None)
     with pytest.raises(ValueError, match="wide-halo"):
         make_distributed_step(model, (2, 4))
+
+
+def test_distributed_with_tracers():
+    """Custom tracers shard and advect identically to serial."""
+    km = 1000.0
+    grid = csi.RectilinearGrid(size=(16, 16), x=(0, 10 * km), y=(0, 10 * km), halo=4)
+    model = csi.sea_ice_model(grid, ice_thermodynamics=None,
+                              advection=csi.WENO(order=5),
+                              timestepper="ForwardEuler")
+    rng = np.random.default_rng(11)
+    state = csi.initial_state(model, h=1.0, a=1.0, u=0.2, v=0.1,
+                              tracers={"dye": rng.random((16, 16))})
+
+    serial = _run_serial(model, state, 5, 300.0)
+    dist = _run_distributed(model, state, 5, 300.0, (2, 2))
+    I = grid.interior
+    np.testing.assert_allclose(np.asarray(I(serial.tracers["dye"])),
+                               np.asarray(I(dist.tracers["dye"])),
+                               rtol=1e-12, atol=1e-14)
