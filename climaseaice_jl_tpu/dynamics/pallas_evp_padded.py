@@ -1,0 +1,412 @@
+"""Padded-array fused Pallas EVP kernel: bounded topologies + immersed
+boundaries, whole substep loop VMEM-resident.
+
+Unlike the interior-only kernel (pallas_evp.py, doubly-periodic via circular
+rolls), this variant carries halo-inclusive padded arrays and performs the
+halo fills *inside* the kernel after each velocity update — a 1:1 mirror of
+the jnp path's `fill_halos_fc/cf` (concatenate fills compile cleanly under
+Mosaic).  That unlocks the `ice_advected_by_anticyclone` /
+`ice_advected_on_coastline` class of workloads: bounded walls, immersed land
+masks, and the linear immersed drag, all fused.
+
+Immersed handling matches the jnp path:
+* σ read by the divergence is zeroed at solid cc nodes / peripheral ff nodes
+  (conditional-flux analog) via constant masks;
+* velocities are killed on peripheral nodes via the activity masks;
+* `ImmersedDrag` enters as a precomputed geometric coefficient
+  g_u = C·(1_N·Δx_ff(N) + 1_S·Δx_ff(S))/Az_fc so the in-kernel term is just
+  −g_u·u·invm_u.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..grids import PERIODIC, BOUNDED
+from .pallas_evp import (_P_DT, _P_DX, _P_DY, _P_F, _P_TAUU, _P_TAUV, _P_RC,
+                         _P_UE, _P_VE, _P_EINV2, _P_AMIN, _P_AMAX, _P_CALPHA,
+                         _P_DMIN, _P_MASSMIN, _P_CONCMIN, _P_REPL)
+from .rheologies import ElastoViscoPlasticRheology, ice_strength
+from .stresses import SemiImplicitStress
+
+_VMEM_BUDGET = 12 * 2 ** 20
+
+
+def padded_fused_available(model):
+    """Eligibility for the padded fused kernel (complements pallas_evp's
+    periodic-only check): uniform rectilinear f32, periodic/bounded sides,
+    scalar stresses, FPlane/no coriolis, immersed masks allowed, ImmersedDrag
+    allowed, no fold, single device."""
+    from .momentum import SplitExplicitSolver
+    from .coriolis import FPlane
+
+    grid = model.grid
+    dyn = model.dynamics
+    if dyn is None or not isinstance(dyn.rheology, ElastoViscoPlasticRheology):
+        return False
+    if not isinstance(dyn.solver, SplitExplicitSolver):
+        return False
+    if grid.kind != "rectilinear" or grid.north_fold:
+        return False
+    if any(t not in (PERIODIC, BOUNDED) for t in grid.topology):
+        return False
+    if grid.mesh_axes is not None:
+        return False
+    if grid.np_dtype != np.dtype("float32"):
+        return False
+    if 30 * grid.nxp * grid.nyp * 4 > _VMEM_BUDGET:
+        return False
+
+    def scalar(x):
+        return x is None or np.ndim(x) == 0
+
+    top = dyn.top_momentum_stress
+    if isinstance(top, dict):
+        if not (scalar(top.get("u")) and scalar(top.get("v"))):
+            return False
+    elif top is not None and not scalar(top):
+        return False
+    bottom = dyn.bottom_momentum_stress
+    if bottom is not None and not isinstance(bottom, SemiImplicitStress):
+        return False
+    if isinstance(bottom, SemiImplicitStress):
+        if not (scalar(bottom.ue) and scalar(bottom.ve)):
+            return False
+    if dyn.coriolis is not None and not isinstance(dyn.coriolis, FPlane):
+        return False
+    if dyn.free_drift is not None:
+        return False
+    if model.forcing:
+        return False
+    return True
+
+
+def _make_fillers(grid):
+    """Static in-kernel halo fill closures for (f,c) and (c,f) fields —
+    mirrors fields._fill_x/_fill_y on values."""
+    Hx, Nx = grid.Hx, grid.Nx
+    Hy, Ny = grid.Hy, grid.Ny
+    TX, TY = grid.topology
+
+    def fill_x(q, face):
+        if Hx == 0:
+            return q
+        if TX == PERIODIC:
+            return jnp.concatenate([q[Nx:Nx + Hx], q[Hx:Hx + Nx], q[Hx:2 * Hx]], 0)
+        if face:
+            zeros_l = jnp.zeros_like(q[:Hx])
+            zeros_r = jnp.zeros_like(q[Hx + Nx + 1:])
+            return jnp.concatenate([zeros_l, q[Hx:Hx + Nx + 1], zeros_r], 0)
+        left = jnp.broadcast_to(q[Hx:Hx + 1], (Hx,) + q.shape[1:])
+        right = jnp.broadcast_to(q[Hx + Nx - 1:Hx + Nx], (Hx,) + q.shape[1:])
+        return jnp.concatenate([left, q[Hx:Hx + Nx], right], 0)
+
+    def fill_y(q, face):
+        if Hy == 0:
+            return q
+        if TY == PERIODIC:
+            return jnp.concatenate([q[:, Ny:Ny + Hy], q[:, Hy:Hy + Ny],
+                                    q[:, Hy:2 * Hy]], 1)
+        if face:
+            zeros_l = jnp.zeros_like(q[:, :Hy])
+            zeros_r = jnp.zeros_like(q[:, Hy + Ny + 1:])
+            return jnp.concatenate([zeros_l, q[:, Hy:Hy + Ny + 1], zeros_r], 1)
+        left = jnp.broadcast_to(q[:, Hy:Hy + 1], (q.shape[0], Hy))
+        right = jnp.broadcast_to(q[:, Hy + Ny - 1:Hy + Ny], (q.shape[0], Hy))
+        return jnp.concatenate([left, q[:, Hy:Hy + Ny], right], 1)
+
+    def fill_fc(q):
+        return fill_y(fill_x(q, True), False)
+
+    def fill_cf(q):
+        return fill_y(fill_x(q, False), True)
+
+    return fill_fc, fill_cf
+
+
+def _padded_kernel(nsub, fill_fc, fill_cf, params_ref,
+                   P_ref, Pff_ref, gcc_ref, gff_ref,
+                   drag_u_ref, invm_u_ref, act_u_ref, un_ref,
+                   drag_v_ref, invm_v_ref, act_v_ref, vn_ref,
+                   mcc_ref, mff_ref, immu_ref, immv_ref,
+                   u_ref, v_ref, s11_ref, s22_ref, s12_ref, al_ref,
+                   o_u_ref, o_v_ref, o_s11_ref, o_s22_ref, o_s12_ref, o_al_ref):
+    p = params_ref
+    dt = p[_P_DT]
+    inv_dx = 1.0 / p[_P_DX]
+    inv_dy = 1.0 / p[_P_DY]
+    f_cor = p[_P_F]
+    tau_u_top = p[_P_TAUU]
+    tau_v_top = p[_P_TAUV]
+    rC = p[_P_RC]
+    ue = p[_P_UE]
+    ve = p[_P_VE]
+    e_inv2 = p[_P_EINV2]
+    a_min = p[_P_AMIN]
+    a_max = p[_P_AMAX]
+    d_min = p[_P_DMIN]
+    repl = p[_P_REPL]
+
+    P = P_ref[:]
+    Pff = Pff_ref[:]
+    gcc = gcc_ref[:]
+    gff = gff_ref[:]
+    drag_u = drag_u_ref[:]
+    invm_u = invm_u_ref[:]
+    act_u = act_u_ref[:]
+    un = un_ref[:]
+    drag_v = drag_v_ref[:]
+    invm_v = invm_v_ref[:]
+    act_v = act_v_ref[:]
+    vn = vn_ref[:]
+    msk_cc = mcc_ref[:]     # 1 where the cc node is fluid (σ11/σ22 valid)
+    msk_ff = mff_ref[:]     # 1 where the ff node is non-peripheral (σ12 valid)
+    imm_u = immu_ref[:]     # immersed-drag geometric coefficient at (f,c)
+    imm_v = immv_ref[:]
+
+    roll = pltpu.roll
+
+    def sp(q, axis):
+        return roll(q, 1, axis)
+
+    def sm(q, axis):
+        return roll(q, q.shape[axis] - 1, axis)
+
+    def ixf_(q):
+        return 0.5 * (q + sp(q, 0))
+
+    def iyf_(q):
+        return 0.5 * (q + sp(q, 1))
+
+    def ixc_(q):
+        return 0.5 * (q + sm(q, 0))
+
+    def iyc_(q):
+        return 0.5 * (q + sm(q, 1))
+
+    def stresses(u, v, s11, s22, s12):
+        e11 = (sm(u, 0) - u) * inv_dx
+        e22 = (sm(v, 1) - v) * inv_dy
+        e12 = 0.5 * ((u - sp(u, 1)) * inv_dy + (v - sp(v, 0)) * inv_dx)
+        e11f = ixf_(iyf_(e11))
+        e22f = ixf_(iyf_(e22))
+        e12c = ixc_(iyc_(e12))
+        d_cc = e11 + e22
+        d_ff = e11f + e22f
+        Dcc = jnp.maximum(jnp.sqrt(d_cc ** 2 + ((e11 - e22) ** 2 + 4 * e12c ** 2) * e_inv2), d_min)
+        Dff = jnp.maximum(jnp.sqrt(d_ff ** 2 + ((e11f - e22f) ** 2 + 4 * e12 ** 2) * e_inv2), d_min)
+        zcc = P / (2 * Dcc)
+        zff = Pff / (2 * Dff)
+        Pr = jnp.where(repl > 0, P * Dcc / (Dcc + d_min), P)
+        eta_cc = zcc * e_inv2
+        eta_ff = zff * e_inv2
+        iso = (zcc - eta_cc) * d_cc - Pr * 0.5
+        s11_t = 2 * eta_cc * e11 + iso
+        s22_t = 2 * eta_cc * e22 + iso
+        s12_t = 2 * eta_ff * e12
+        gamma_cc = jnp.where(gcc > 0, jnp.clip(jnp.sqrt(jnp.abs(zcc * gcc)), a_min, a_max), a_max)
+        gamma_ff = jnp.where(gff > 0, jnp.clip(jnp.sqrt(jnp.abs(zff * gff)), a_min, a_max), a_max)
+        s11 = s11 + jnp.where(gcc > 0, (s11_t - s11) / gamma_cc, 0.0)
+        s22 = s22 + jnp.where(gcc > 0, (s22_t - s22) / gamma_cc, 0.0)
+        s12 = s12 + jnp.where(gff > 0, (s12_t - s12) / gamma_ff, 0.0)
+        return s11, s22, s12, gamma_cc
+
+    def u_update(u, v, s11, s12, alpha):
+        s11m = s11 * msk_cc
+        s12m = s12 * msk_ff
+        div_x = (s11m - sp(s11m, 0)) * inv_dx + (sm(s12m, 1) - s12m) * inv_dy
+        v_fc = ixf_(iyc_(v))
+        du = ue - u
+        dv = ve - v_fc
+        speed = jnp.sqrt(du * du + dv * dv)
+        Gu = (f_cor * v_fc - tau_u_top * drag_u + rC * speed * ue * drag_u
+              + div_x * invm_u - imm_u * u * invm_u + (un - u) / dt)
+        Gu = jnp.where(invm_u > 0, Gu, 0.0)
+        dtau = dt / ixf_(alpha)
+        u_new = (u + dtau * Gu) / (1 + dtau * rC * speed * drag_u) * act_u
+        return fill_fc(u_new)
+
+    def v_update(u, v, s22, s12, alpha):
+        s22m = s22 * msk_cc
+        s12m = s12 * msk_ff
+        div_y = (s22m - sp(s22m, 1)) * inv_dy + (sm(s12m, 0) - s12m) * inv_dx
+        u_cf = ixc_(iyf_(u))
+        dv = ve - v
+        du = ue - u_cf
+        speed = jnp.sqrt(du * du + dv * dv)
+        Gv = (-f_cor * u_cf - tau_v_top * drag_v + rC * speed * ve * drag_v
+              + div_y * invm_v - imm_v * v * invm_v + (vn - v) / dt)
+        Gv = jnp.where(invm_v > 0, Gv, 0.0)
+        dtau = dt / iyf_(alpha)
+        v_new = (v + dtau * Gv) / (1 + dtau * rC * speed * drag_v) * act_v
+        return fill_cf(v_new)
+
+    def body(i, carry):
+        u, v, s11, s22, s12, alpha = carry
+        s11, s22, s12, alpha = stresses(u, v, s11, s22, s12)
+        substep = i + 1
+
+        def even_order(uv):
+            u, v = uv
+            u2 = u_update(u, v, s11, s12, alpha)
+            v2 = v_update(u2, v, s22, s12, alpha)
+            return u2, v2
+
+        def odd_order(uv):
+            u, v = uv
+            v2 = v_update(u, v, s22, s12, alpha)
+            u2 = u_update(u, v2, s11, s12, alpha)
+            return u2, v2
+
+        u, v = lax.cond(substep % 2 == 0, even_order, odd_order, (u, v))
+        return (u, v, s11, s22, s12, alpha)
+
+    init = (fill_fc(u_ref[:]), fill_cf(v_ref[:]),
+            s11_ref[:], s22_ref[:], s12_ref[:], al_ref[:])
+    u, v, s11, s22, s12, alpha = lax.fori_loop(0, nsub, body, init)
+
+    o_u_ref[:] = u
+    o_v_ref[:] = v
+    o_s11_ref[:] = s11
+    o_s22_ref[:] = s22
+    o_s12_ref[:] = s12
+    o_al_ref[:] = alpha
+
+
+def padded_fused_momentum_step(model, state, dt, u_start, v_start,
+                               interpret=False):
+    """Whole-loop padded fused step; returns the jnp path's update dict."""
+    from ..ops import ixf, iyf, ixy_ff
+    from ..fields import fill_halos_cc, fill_halos_fc, fill_halos_cf, fill_halos_ff
+
+    grid = model.grid
+    dyn = model.dynamics
+    rheo = dyn.rheology
+    nsub = dyn.solver.substeps
+    dt = jnp.asarray(dt, jnp.float32)
+    masks = model.masks
+
+    h, a = state.h, state.a
+    rho = jnp.asarray(model.sea_ice_density, jnp.float32)
+    dx = jnp.asarray(grid.dx_cc, jnp.float32)
+    dy = jnp.asarray(grid.dy_cc, jnp.float32)
+    az = dx * dy
+
+    P = ice_strength(rheo, h, a)
+    Pff = ixy_ff(P)
+    m_cc = h * a * rho
+    m_ff = ixy_ff(m_cc)
+    m_fc = ixf(m_cc)
+    a_fc = ixf(a)
+    m_cf = iyf(m_cc)
+    a_cf = iyf(a)
+
+    def inv0(x):
+        ok = x > 0
+        return jnp.where(ok, 1.0 / jnp.where(ok, x, 1.0), 0.0)
+
+    gcc = jnp.where(m_cc > 0,
+                    rheo.relaxation_strength * dt / (jnp.where(m_cc > 0, m_cc, 1.0) * az),
+                    -1.0)
+    gff = jnp.where(m_ff > 0,
+                    rheo.relaxation_strength * dt / (jnp.where(m_ff > 0, m_ff, 1.0) * az),
+                    -1.0)
+
+    invm_u = inv0(m_fc)
+    drag_u = invm_u * a_fc
+    invm_v = inv0(m_cf)
+    drag_v = invm_v * a_cf
+
+    act_u = ((m_fc >= dyn.minimum_mass) & (a_fc >= dyn.minimum_concentration)
+             ).astype(jnp.float32)
+    act_v = ((m_cf >= dyn.minimum_mass) & (a_cf >= dyn.minimum_concentration)
+             ).astype(jnp.float32)
+    if masks.per_fc is not None:
+        act_u = act_u * (~masks.per_fc).astype(jnp.float32)
+    if masks.per_cf is not None:
+        act_v = act_v * (~masks.per_cf).astype(jnp.float32)
+
+    msk_cc = (jnp.ones(grid.shape, jnp.float32) if masks.solid_cc is None
+              else (~masks.solid_cc).astype(jnp.float32))
+    msk_ff = (jnp.ones(grid.shape, jnp.float32) if masks.per_ff is None
+              else (~masks.per_ff).astype(jnp.float32))
+
+    # immersed-drag geometric coefficients (see momentum.velocity_tendencies)
+    if dyn.immersed_drag is not None and masks.per_ff is not None:
+        from ..ops import shift_m
+        C = jnp.asarray(dyn.immersed_drag.coefficient, jnp.float32)
+        per_ff = masks.per_ff
+        dx_ff = jnp.broadcast_to(jnp.asarray(grid.dx_ff, jnp.float32), grid.shape)
+        dy_ff = jnp.broadcast_to(jnp.asarray(grid.dy_ff, jnp.float32), grid.shape)
+        imm_u = C * (jnp.where(shift_m(per_ff, 1) & ~masks.per_fc, shift_m(dx_ff, 1), 0.0)
+                     + jnp.where(per_ff & ~masks.per_fc, dx_ff, 0.0)) / az
+        imm_v = C * (jnp.where(shift_m(per_ff, 0) & ~masks.per_cf, shift_m(dy_ff, 0), 0.0)
+                     + jnp.where(per_ff & ~masks.per_cf, dy_ff, 0.0)) / az
+    else:
+        imm_u = jnp.zeros(grid.shape, jnp.float32)
+        imm_v = jnp.zeros(grid.shape, jnp.float32)
+
+    def _f32(x):
+        return jnp.asarray(0.0 if x is None else x, jnp.float32)
+
+    top = dyn.top_momentum_stress
+    if isinstance(top, dict):
+        tau_u_top, tau_v_top = _f32(top.get("u")), _f32(top.get("v"))
+    else:
+        tau_u_top = _f32(top)
+        tau_v_top = tau_u_top
+    bottom = dyn.bottom_momentum_stress
+    if isinstance(bottom, SemiImplicitStress):
+        rC = jnp.asarray(bottom.rho_e * bottom.Cd, jnp.float32)
+        ue, ve = _f32(bottom.ue), _f32(bottom.ve)
+    else:
+        rC = ue = ve = jnp.zeros((), jnp.float32)
+    f_cor = _f32(dyn.coriolis.f if dyn.coriolis is not None else 0.0)
+
+    params = jnp.stack([
+        dt, dx, dy, f_cor, tau_u_top, tau_v_top, rC, ue, ve,
+        jnp.asarray(rheo.yield_curve_eccentricity, jnp.float32) ** -2.0,
+        _f32(rheo.min_relaxation_parameter), _f32(rheo.max_relaxation_parameter),
+        _f32(rheo.relaxation_strength), _f32(rheo.minimum_plastic_stress),
+        _f32(dyn.minimum_mass), _f32(dyn.minimum_concentration),
+        jnp.ones((), jnp.float32) if rheo.pressure_formulation == "replacement"
+        else jnp.zeros((), jnp.float32),
+        jnp.zeros((), jnp.float32),
+    ])
+
+    fill_fc, fill_cf = _make_fillers(grid)
+    kernel = functools.partial(_padded_kernel, nsub, fill_fc, fill_cf)
+
+    consts = [P, Pff, gcc, gff, drag_u, invm_u, act_u, u_start,
+              drag_v, invm_v, act_v, v_start,
+              msk_cc, msk_ff, imm_u, imm_v]
+    carry_in = [u_start, v_start, state.sig11, state.sig22, state.sig12,
+                state.alpha]
+
+    out_shape = [jax.ShapeDtypeStruct(grid.shape, jnp.float32)] * 6
+    n_in = 1 + len(consts) + len(carry_in)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(consts) + len(carry_in)),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        input_output_aliases={n_in - 6 + k: k for k in range(6)},
+        interpret=interpret,
+    )(params, *consts, *carry_in)
+
+    u, v, s11, s22, s12, alpha = outs
+    s11 = fill_halos_cc(s11, grid)
+    s22 = fill_halos_cc(s22, grid)
+    s12 = fill_halos_ff(s12, grid)
+
+    return dict(u=u, v=v, sig11=s11, sig22=s22, sig12=s12, alpha=alpha,
+                P=P, un=u_start, vn=v_start,
+                Delta=state.Delta, zeta_cc=state.zeta_cc, zeta_ff=state.zeta_ff)

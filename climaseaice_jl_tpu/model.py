@@ -337,9 +337,15 @@ def momentum_step(model, state, dt, u_prev=None, v_prev=None):
         if fused_mode != "never":
             from .dynamics.pallas_evp import (fused_available,
                                               fused_split_explicit_momentum_step)
+            from .dynamics.pallas_evp_padded import (padded_fused_available,
+                                                     padded_fused_momentum_step)
             on_tpu = jax.default_backend() in ("tpu", "axon")
             if fused_available(model) and (fused_mode == "always" or on_tpu):
                 upd = fused_split_explicit_momentum_step(
+                    model, state, dt, u_start, v_start, interpret=not on_tpu)
+                return state.evolve(**upd)
+            if padded_fused_available(model) and (fused_mode == "always" or on_tpu):
+                upd = padded_fused_momentum_step(
                     model, state, dt, u_start, v_start, interpret=not on_tpu)
                 return state.evolve(**upd)
         upd = split_explicit_momentum_step(model, state, dt, u_start, v_start)

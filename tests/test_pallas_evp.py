@@ -169,3 +169,56 @@ def test_tiled_dispatch_stays_physical(monkeypatch):
         assert np.isfinite(b).all()
         scale = vel_scale if name in ("u", "v") else max(np.abs(a).max(), 1e-8)
         assert np.abs(a - b).max() / scale < tol, name
+
+
+def _build_bounded(fused, substeps=10, immersed=False, P_star=27.5):
+    km = 1000.0
+    grid = csi.RectilinearGrid(size=(24, 24), x=(0, 100 * km), y=(0, 100 * km),
+                               halo=5, dtype="float32",
+                               topology=("periodic", "bounded"))
+    if immersed:
+        mask = np.zeros((24, 24), bool)
+        mask[8:12, 10:14] = True
+        grid = csi.ImmersedBoundaryGrid(grid, mask)
+    dynamics = csi.SeaIceMomentumEquation(
+        rheology=csi.ElastoViscoPlasticRheology(ice_compressive_strength=P_star),
+        coriolis=csi.FPlane(f=1e-4),
+        top_momentum_stress={"u": 0.05, "v": 0.02},
+        bottom_momentum_stress=csi.SemiImplicitStress(ue=0.1, ve=-0.05),
+        immersed_drag=csi.ImmersedDrag(coefficient=3e-3) if immersed else None,
+        solver=csi.SplitExplicitSolver(substeps=substeps, fused=fused))
+    model = csi.sea_ice_model(grid, dynamics=dynamics, ice_thermodynamics=None,
+                              advection=csi.WENO(order=5),
+                              timestepper="ForwardEuler")
+
+    def h0(x, y):
+        return 0.5 + 0.2 * np.sin(2 * np.pi * x / (100 * km)) * np.cos(np.pi * y / (100 * km))
+
+    state = csi.initial_state(model, h=h0, a=1.0, u=0.02)
+    return model, state
+
+
+@pytest.mark.parametrize("immersed", [False, True], ids=["walls", "immersed"])
+def test_padded_fused_matches_jnp(immersed):
+    """Bounded/immersed padded fused kernel vs the jnp path (soft-ice
+    contractive regime, interpret mode)."""
+    from climaseaice_jl_tpu.dynamics.pallas_evp_padded import padded_fused_available
+
+    model_f, state_f = _build_bounded("always", immersed=immersed)
+    assert padded_fused_available(model_f)
+    model_j, state_j = _build_bounded("never", immersed=immersed)
+
+    for _ in range(3):
+        state_f = csi.step(model_f, state_f, 60.0)
+        state_j = csi.step(model_j, state_j, 60.0)
+
+    I = model_f.grid.interior
+    vel_scale = max(np.abs(np.asarray(I(state_j.u))).max(),
+                    np.abs(np.asarray(I(state_j.v))).max(), 1e-8)
+    for name, tol in (("u", 2e-4), ("v", 2e-4), ("h", 1e-5), ("a", 1e-5)):
+        a = np.asarray(I(getattr(state_f, name)))
+        b = np.asarray(I(getattr(state_j, name)))
+        assert np.isfinite(a).all(), name
+        scale = vel_scale if name in ("u", "v") else max(np.abs(b).max(), 1e-8)
+        assert np.abs(a - b).max() / scale < tol, \
+            f"{name}: {np.abs(a - b).max() / scale}"
