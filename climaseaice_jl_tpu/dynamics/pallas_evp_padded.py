@@ -61,23 +61,24 @@ def padded_fused_available(model):
         return False
     if grid.np_dtype != np.dtype("float32"):
         return False
-    if 30 * grid.nxp * grid.nyp * 4 > _VMEM_BUDGET:
+    if 34 * grid.nxp * grid.nyp * 4 > _VMEM_BUDGET:
         return False
 
-    def scalar(x):
-        return x is None or np.ndim(x) == 0
+    def ok_val(x):
+        return (x is None or np.ndim(x) == 0
+                or getattr(x, "shape", None) == grid.shape)
 
     top = dyn.top_momentum_stress
     if isinstance(top, dict):
-        if not (scalar(top.get("u")) and scalar(top.get("v"))):
+        if not (ok_val(top.get("u")) and ok_val(top.get("v"))):
             return False
-    elif top is not None and not scalar(top):
+    elif top is not None and not ok_val(top):
         return False
     bottom = dyn.bottom_momentum_stress
     if bottom is not None and not isinstance(bottom, SemiImplicitStress):
         return False
     if isinstance(bottom, SemiImplicitStress):
-        if not (scalar(bottom.ue) and scalar(bottom.ve)):
+        if not (ok_val(bottom.ue) and ok_val(bottom.ve)):
             return False
     if dyn.coriolis is not None and not isinstance(dyn.coriolis, FPlane):
         return False
@@ -136,6 +137,7 @@ def _padded_kernel(nsub, fill_fc, fill_cf, params_ref,
                    drag_u_ref, invm_u_ref, act_u_ref, un_ref,
                    drag_v_ref, invm_v_ref, act_v_ref, vn_ref,
                    mcc_ref, mff_ref, immu_ref, immv_ref,
+                   tauu_ref, tauv_ref, ue_ref, ve_ref,
                    u_ref, v_ref, s11_ref, s22_ref, s12_ref, al_ref,
                    o_u_ref, o_v_ref, o_s11_ref, o_s22_ref, o_s12_ref, o_al_ref):
     p = params_ref
@@ -143,11 +145,7 @@ def _padded_kernel(nsub, fill_fc, fill_cf, params_ref,
     inv_dx = 1.0 / p[_P_DX]
     inv_dy = 1.0 / p[_P_DY]
     f_cor = p[_P_F]
-    tau_u_top = p[_P_TAUU]
-    tau_v_top = p[_P_TAUV]
     rC = p[_P_RC]
-    ue = p[_P_UE]
-    ve = p[_P_VE]
     e_inv2 = p[_P_EINV2]
     a_min = p[_P_AMIN]
     a_max = p[_P_AMAX]
@@ -170,6 +168,10 @@ def _padded_kernel(nsub, fill_fc, fill_cf, params_ref,
     msk_ff = mff_ref[:]     # 1 where the ff node is non-peripheral (σ12 valid)
     imm_u = immu_ref[:]     # immersed-drag geometric coefficient at (f,c)
     imm_v = immv_ref[:]
+    tau_u_top = tauu_ref[:]  # external stresses as (broadcast) arrays
+    tau_v_top = tauv_ref[:]
+    ue = ue_ref[:]           # ocean velocity at (f,c)
+    ve = ve_ref[:]           # ocean velocity at (c,f)
 
     roll = pltpu.roll
 
@@ -224,7 +226,7 @@ def _padded_kernel(nsub, fill_fc, fill_cf, params_ref,
         div_x = (s11m - sp(s11m, 0)) * inv_dx + (sm(s12m, 1) - s12m) * inv_dy
         v_fc = ixf_(iyc_(v))
         du = ue - u
-        dv = ve - v_fc
+        dv = ixf_(iyc_(ve)) - v_fc
         speed = jnp.sqrt(du * du + dv * dv)
         Gu = (f_cor * v_fc - tau_u_top * drag_u + rC * speed * ue * drag_u
               + div_x * invm_u - imm_u * u * invm_u + (un - u) / dt)
@@ -239,7 +241,7 @@ def _padded_kernel(nsub, fill_fc, fill_cf, params_ref,
         div_y = (s22m - sp(s22m, 1)) * inv_dy + (sm(s12m, 0) - s12m) * inv_dx
         u_cf = ixc_(iyf_(u))
         dv = ve - v
-        du = ue - u_cf
+        du = ixc_(iyf_(ue)) - u_cf
         speed = jnp.sqrt(du * du + dv * dv)
         Gv = (-f_cor * u_cf - tau_v_top * drag_v + rC * speed * ve * drag_v
               + div_y * invm_v - imm_v * v * invm_v + (vn - v) / dt)
@@ -356,22 +358,27 @@ def padded_fused_momentum_step(model, state, dt, u_start, v_start,
     def _f32(x):
         return jnp.asarray(0.0 if x is None else x, jnp.float32)
 
+    def _arr(x):
+        return jnp.broadcast_to(_f32(x), grid.shape)
+
     top = dyn.top_momentum_stress
     if isinstance(top, dict):
-        tau_u_top, tau_v_top = _f32(top.get("u")), _f32(top.get("v"))
+        tau_u_top, tau_v_top = _arr(top.get("u")), _arr(top.get("v"))
     else:
-        tau_u_top = _f32(top)
+        tau_u_top = _arr(top)
         tau_v_top = tau_u_top
     bottom = dyn.bottom_momentum_stress
     if isinstance(bottom, SemiImplicitStress):
         rC = jnp.asarray(bottom.rho_e * bottom.Cd, jnp.float32)
-        ue, ve = _f32(bottom.ue), _f32(bottom.ve)
+        ue, ve = _arr(bottom.ue), _arr(bottom.ve)
     else:
-        rC = ue = ve = jnp.zeros((), jnp.float32)
+        rC = jnp.zeros((), jnp.float32)
+        ue = ve = jnp.zeros(grid.shape, jnp.float32)
     f_cor = _f32(dyn.coriolis.f if dyn.coriolis is not None else 0.0)
 
     params = jnp.stack([
-        dt, dx, dy, f_cor, tau_u_top, tau_v_top, rC, ue, ve,
+        dt, dx, dy, f_cor, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+        rC, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
         jnp.asarray(rheo.yield_curve_eccentricity, jnp.float32) ** -2.0,
         _f32(rheo.min_relaxation_parameter), _f32(rheo.max_relaxation_parameter),
         _f32(rheo.relaxation_strength), _f32(rheo.minimum_plastic_stress),
@@ -386,7 +393,8 @@ def padded_fused_momentum_step(model, state, dt, u_start, v_start,
 
     consts = [P, Pff, gcc, gff, drag_u, invm_u, act_u, u_start,
               drag_v, invm_v, act_v, v_start,
-              msk_cc, msk_ff, imm_u, imm_v]
+              msk_cc, msk_ff, imm_u, imm_v,
+              tau_u_top, tau_v_top, ue, ve]
     carry_in = [u_start, v_start, state.sig11, state.sig22, state.sig12,
                 state.alpha]
 

@@ -222,3 +222,48 @@ def test_padded_fused_matches_jnp(immersed):
         scale = vel_scale if name in ("u", "v") else max(np.abs(b).max(), 1e-8)
         assert np.abs(a - b).max() / scale < tol, \
             f"{name}: {np.abs(a - b).max() / scale}"
+
+
+def test_padded_fused_array_stresses_match_jnp():
+    """Array-valued wind stress + ocean velocities (the anticyclone-class
+    forcing) through the padded fused kernel vs the jnp path."""
+    km = 1000.0
+    N = 24
+    grid = csi.RectilinearGrid(size=(N, N), x=(0, 100 * km), y=(0, 100 * km),
+                               halo=5, dtype="float32",
+                               topology=("bounded", "bounded"))
+    rng = np.random.default_rng(5)
+    tau_u = np.asarray(0.05 * rng.standard_normal(grid.shape), np.float32)
+    tau_v = np.asarray(0.05 * rng.standard_normal(grid.shape), np.float32)
+    ue = np.asarray(0.1 * rng.standard_normal(grid.shape), np.float32)
+    ve = np.asarray(0.1 * rng.standard_normal(grid.shape), np.float32)
+
+    def build(fused):
+        dynamics = csi.SeaIceMomentumEquation(
+            rheology=csi.ElastoViscoPlasticRheology(ice_compressive_strength=27.5),
+            coriolis=csi.FPlane(f=1e-4),
+            top_momentum_stress={"u": tau_u, "v": tau_v},
+            bottom_momentum_stress=csi.SemiImplicitStress(ue=ue, ve=ve),
+            solver=csi.SplitExplicitSolver(substeps=10, fused=fused))
+        model = csi.sea_ice_model(grid, dynamics=dynamics, ice_thermodynamics=None,
+                                  advection=csi.WENO(order=5),
+                                  timestepper="ForwardEuler")
+        return model, csi.initial_state(model, h=0.5, a=1.0)
+
+    from climaseaice_jl_tpu.dynamics.pallas_evp_padded import padded_fused_available
+    model_f, state_f = build("always")
+    assert padded_fused_available(model_f)
+    model_j, state_j = build("never")
+    for _ in range(3):
+        state_f = csi.step(model_f, state_f, 60.0)
+        state_j = csi.step(model_j, state_j, 60.0)
+    I = grid.interior
+    vel_scale = max(np.abs(np.asarray(I(state_j.u))).max(),
+                    np.abs(np.asarray(I(state_j.v))).max(), 1e-8)
+    for name in ("u", "v", "h"):
+        a = np.asarray(I(getattr(state_f, name)))
+        b = np.asarray(I(getattr(state_j, name)))
+        assert np.isfinite(a).all(), name
+        scale = vel_scale if name in ("u", "v") else max(np.abs(b).max(), 1e-8)
+        assert np.abs(a - b).max() / scale < 5e-4, \
+            f"{name}: {np.abs(a - b).max() / scale}"
