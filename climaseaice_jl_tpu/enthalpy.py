@@ -46,7 +46,7 @@ class ZGrid:
         return (self.Nz + 2,)
 
     def interior(self, q):
-        return q[1:self.Nz + 1]
+        return q[..., 1:self.Nz + 1]
 
     def zc(self):
         import numpy as np
@@ -106,12 +106,14 @@ class EnthalpyState:
     clock: Clock = None
 
 
-def initial_state(model: EnthalpyMethodSeaIceModel, T=None, H=None, time=0.0):
+def initial_state(model: EnthalpyMethodSeaIceModel, T=None, H=None, time=0.0,
+                  columns=()):
     """``set!(model; T=...)`` or ``set!(model; H=...)`` analog
-    (`EnthalpyMethodSeaIceModel.jl:80-98`)."""
+    (`EnthalpyMethodSeaIceModel.jl:80-98`).  ``columns``: optional leading
+    (x, y) batch shape — a 3-D :xyz field of independent columns."""
     grid = model.grid
     dt_ = jnp.dtype(grid.dtype)
-    z = jnp.zeros(grid.shape, dt_)
+    z = jnp.zeros(tuple(columns) + grid.shape, dt_)
     if T is not None and H is not None:
         raise ValueError("cannot set both temperature and enthalpy")
     state = EnthalpyState(H=z, T=z, phi=z, kappa=z,
@@ -136,7 +138,7 @@ def initial_state(model: EnthalpyMethodSeaIceModel, T=None, H=None, time=0.0):
 def _set_interior(grid, q, values):
     if callable(values):
         values = values(grid.zc())
-    return q.at[1:grid.Nz + 1].set(jnp.asarray(values, q.dtype))
+    return q.at[..., 1:grid.Nz + 1].set(jnp.asarray(values, q.dtype))
 
 
 def _porosity(T):
@@ -150,13 +152,13 @@ def _apply_T_bcs(model, T, t):
     Nz = grid.Nz
     bot, top = model.bottom_T_bc, model.top_T_bc
     if isinstance(bot, ValueBoundaryCondition):
-        T = T.at[0].set(2 * bot.at(t) - T[1])
+        T = T.at[..., 0].set(2 * bot.at(t) - T[..., 1])
     else:
-        T = T.at[0].set(T[1])
+        T = T.at[..., 0].set(T[..., 1])
     if isinstance(top, ValueBoundaryCondition):
-        T = T.at[Nz + 1].set(2 * top.at(t) - T[Nz])
+        T = T.at[..., Nz + 1].set(2 * top.at(t) - T[..., Nz])
     else:
-        T = T.at[Nz + 1].set(T[Nz])
+        T = T.at[..., Nz + 1].set(T[..., Nz])
     return T
 
 
@@ -177,20 +179,22 @@ def _step(model, state, dt):
     T, kappa = state.T, state.kappa
 
     # diffusive flux at z-faces k-1/2 for k = 1..Nz+1: κ̄ (T[k] − T[k−1]) / Δz
-    kappa_face = 0.5 * (kappa + jnp.roll(kappa, 1))
-    grad = (T - jnp.roll(T, 1)) / dz
+    # (last-axis ops: the column model batches over arbitrary leading (x, y)
+    # dims, the :xyz launch analog of `EnthalpyMethodSeaIceModel.jl`)
+    kappa_face = 0.5 * (kappa + jnp.roll(kappa, 1, axis=-1))
+    grad = (T - jnp.roll(T, 1, axis=-1)) / dz
     flux = kappa_face * grad  # flux[k] at the face below cell k
 
-    G = (jnp.roll(flux, -1) - flux) / dz  # (flux above − flux below) / Δz
+    G = (jnp.roll(flux, -1, axis=-1) - flux) / dz
 
     # Prescribed-flux BCs override the face flux at the boundaries
     t = state.clock.time
     if isinstance(model.bottom_T_bc, FluxBoundaryCondition):
-        G = G.at[1].set((flux[2] - model.bottom_T_bc.at(t)) / dz)
+        G = G.at[..., 1].set((flux[..., 2] - model.bottom_T_bc.at(t)) / dz)
     if isinstance(model.top_T_bc, FluxBoundaryCondition):
-        G = G.at[Nz].set((model.top_T_bc.at(t) - flux[Nz]) / dz)
+        G = G.at[..., Nz].set((model.top_T_bc.at(t) - flux[..., Nz]) / dz)
 
-    H = state.H.at[1:Nz + 1].add(dt * G[1:Nz + 1])
+    H = state.H.at[..., 1:Nz + 1].add(dt * G[..., 1:Nz + 1])
     state = state.evolve(H=H,
                          clock=Clock(time=state.clock.time + dt,
                                      iteration=state.clock.iteration + 1))

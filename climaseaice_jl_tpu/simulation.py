@@ -86,10 +86,18 @@ class Simulation:
         for w in self.output_writers.values():
             w.maybe_write(self)
 
-    def run(self, pickup=None):
-        """Run to the stop condition.  ``pickup``: a checkpoint path, or True
-        to resume from the latest checkpoint of a registered Checkpointer
-        (`run!(sim, pickup=…)` analog, `test/test_checkpointing.jl`)."""
+    def run(self, pickup=None, profile_dir=None):
+        """Run to the stop condition.
+
+        ``pickup``: a checkpoint path, or True to resume from the latest
+        checkpoint of a registered Checkpointer (`run!(sim, pickup=…)`
+        analog).  ``profile_dir``: wrap the loop in a `jax.profiler.trace`
+        writing a TensorBoard-compatible device trace there (the profiling
+        instrumentation the reference lacks; SURVEY.md §5).
+        """
+        if profile_dir is not None:
+            with jax.profiler.trace(profile_dir):
+                return self.run(pickup=pickup, profile_dir=None)
         if pickup:
             from .io.checkpoint import restore_state, Checkpointer
             path = pickup

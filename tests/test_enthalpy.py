@@ -60,3 +60,25 @@ def test_time_varying_bc():
         state = em.step(model, state, 60.0)
     assert np.isfinite(np.asarray(state.T)).all()
     assert int(state.clock.iteration) == 100
+
+
+def test_batched_columns_xyz():
+    """Batched (x, y, z) columns evolve identically to independent 1-D runs
+    (`EnthalpyMethodSeaIceModel.jl` :xyz launch analog)."""
+    grid = em.ZGrid(Nz=12)
+    model = em.EnthalpyMethodSeaIceModel(
+        grid=grid,
+        top_T_bc=em.ValueBoundaryCondition(-8.0),
+        bottom_T_bc=em.ValueBoundaryCondition(1.0))
+
+    batched = em.initial_state(model, T=lambda z: 1.0 + 0 * z, columns=(3, 2))
+    single = em.initial_state(model, T=lambda z: 1.0 + 0 * z)
+    assert batched.T.shape == (3, 2, 14)
+    for _ in range(200):
+        batched = em.step(model, batched, 60.0)
+        single = em.step(model, single, 60.0)
+    Tb = np.asarray(grid.interior(batched.T))
+    Ts = np.asarray(grid.interior(single.T))
+    for i in range(3):
+        for j in range(2):
+            np.testing.assert_allclose(Tb[i, j], Ts, rtol=1e-12)
