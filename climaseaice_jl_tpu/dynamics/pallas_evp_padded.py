@@ -57,7 +57,10 @@ def padded_fused_available(model):
         return False
     if any(t not in (PERIODIC, BOUNDED) for t in grid.topology):
         return False
-    if grid.mesh_axes is not None:
+    # Distributed shards are fused-eligible ONLY in wide-halo mode: the
+    # substep loop is exchange-free there, so the kernel's local-only fills
+    # match the jnp path exactly (`halo_exchange='wide'`).
+    if grid.mesh_axes is not None and dyn.solver.halo_exchange != "wide":
         return False
     if grid.np_dtype != np.dtype("float32"):
         return False
@@ -91,13 +94,18 @@ def padded_fused_available(model):
 
 def _make_fillers(grid):
     """Static in-kernel halo fill closures for (f,c) and (c,f) fields —
-    mirrors fields._fill_x/_fill_y on values."""
+    mirrors fields._fill_x/_fill_y on values.  Mesh-split directions are left
+    untouched (wide-halo mode: their halos were exchanged once before the
+    loop and go stale, exactly like `fill_halos_*_local`)."""
+    from ..fields import _meshed
     Hx, Nx = grid.Hx, grid.Nx
     Hy, Ny = grid.Hy, grid.Ny
     TX, TY = grid.topology
+    skip_x = _meshed(grid, 0)
+    skip_y = _meshed(grid, 1)
 
     def fill_x(q, face):
-        if Hx == 0:
+        if Hx == 0 or skip_x:
             return q
         if TX == PERIODIC:
             return jnp.concatenate([q[Nx:Nx + Hx], q[Hx:Hx + Nx], q[Hx:2 * Hx]], 0)
@@ -110,7 +118,7 @@ def _make_fillers(grid):
         return jnp.concatenate([left, q[Hx:Hx + Nx], right], 0)
 
     def fill_y(q, face):
-        if Hy == 0:
+        if Hy == 0 or skip_y:
             return q
         if TY == PERIODIC:
             return jnp.concatenate([q[:, Ny:Ny + Hy], q[:, Hy:Hy + Ny],

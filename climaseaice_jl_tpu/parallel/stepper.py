@@ -26,12 +26,17 @@ try:
     from jax import shard_map as _shard_map
 
     def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+        # check_vma=False: pallas_call outputs inside the sharded step don't
+        # carry varying-mesh-axis metadata (needed for the per-shard fused
+        # EVP kernels in wide-halo mode)
+        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                          check_vma=False)
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map as _shard_map_old
 
     def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map_old(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+        return _shard_map_old(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_rep=False)
 
 from ..grids import BOUNDED, PERIODIC, FLAT
 from ..model import Masks, update_state, _step

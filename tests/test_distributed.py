@@ -206,3 +206,43 @@ def test_distributed_with_tracers():
     np.testing.assert_allclose(np.asarray(I(serial.tracers["dye"])),
                                np.asarray(I(dist.tracers["dye"])),
                                rtol=1e-12, atol=1e-14)
+
+
+def test_wide_halo_with_fused_padded_kernel():
+    """Distributed wide-halo mode running the padded VMEM-fused EVP kernel
+    per shard (interpret mode): must reproduce the serial fused run."""
+    km = 1000.0
+    grid = csi.RectilinearGrid(size=(48, 48), x=(-10 * km, 10 * km),
+                               y=(-10 * km, 10 * km), halo=5, dtype="float32")
+    dynamics = csi.SeaIceMomentumEquation(
+        rheology=csi.ElastoViscoPlasticRheology(ice_compressive_strength=27.5),
+        coriolis=csi.FPlane(f=1e-4),
+        top_momentum_stress={"u": 0.01, "v": 0.01},
+        bottom_momentum_stress=csi.SemiImplicitStress(),
+        solver=csi.SplitExplicitSolver(substeps=4, halo_exchange="wide",
+                                       fused="always"))
+    model = csi.sea_ice_model(grid, dynamics=dynamics, ice_thermodynamics=None,
+                              advection=csi.WENO(order=5),
+                              timestepper="ForwardEuler")
+
+    def h0(x, y):
+        return 0.3 + 0.005 * (np.sin(60 * x / (20 * km)) + np.sin(30 * y / (20 * km)))
+
+    state = csi.initial_state(model, h=h0, a=1.0, u=0.05)
+
+    serial = _run_serial(model, state, 5, 60.0)
+    dist = _run_distributed(model, state, 5, 60.0, (2, 2))
+
+    # f32 + FMA-contraction differences between the (differently-shaped)
+    # serial and per-shard kernel compilations seed ~1e-7 noise that the
+    # Δ→γ sensitivity amplifies; assert physical-level agreement.
+    I = model.grid.interior
+    vel_scale = max(np.abs(np.asarray(I(serial.u))).max(),
+                    np.abs(np.asarray(I(serial.v))).max(), 1e-8)
+    for name, tol in (("u", 2e-2), ("v", 2e-2), ("h", 1e-4), ("a", 1e-4)):
+        a = np.asarray(I(getattr(serial, name)))
+        b = np.asarray(I(getattr(dist, name)))
+        assert np.isfinite(b).all(), name
+        scale = vel_scale if name in ("u", "v") else max(np.abs(a).max(), 1e-8)
+        assert np.abs(a - b).max() / scale < tol, \
+            f"fused wide-halo {name}: {np.abs(a - b).max() / scale}"
