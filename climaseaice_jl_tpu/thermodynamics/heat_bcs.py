@@ -50,7 +50,7 @@ class MeltingConstrainedFluxBalance:
     adaptive RootSolvers secant; a fixed count keeps the solve jit-compatible
     and converges to machine precision for smooth flux balances).
     """
-    iterations: int = static_field(default=32)
+    iterations: int = static_field(default=20)
 
 
 @pytree_dataclass
