@@ -1,5 +1,5 @@
 from .coriolis import FPlane, BetaPlane
-from .stresses import SemiImplicitStress
+from .stresses import SemiImplicitStress, StressFunction
 from .free_drift import StressBalanceFreeDrift
 from .rheologies import ViscousRheology, ElastoViscoPlasticRheology
 from .momentum import SeaIceMomentumEquation, ExplicitSolver, SplitExplicitSolver, ImmersedDrag

@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..grids import PERIODIC
 from ..ops import ixf, iyf, ixy_ff
 from .rheologies import ElastoViscoPlasticRheology, ice_strength
-from .stresses import SemiImplicitStress
+from .stresses import SemiImplicitStress, StressFunction
 
 # params vector layout (SMEM)
 _P_DT, _P_DX, _P_DY, _P_F, _P_TAUU, _P_TAUV, _P_RC, _P_UE, _P_VE, \
@@ -46,20 +46,24 @@ _P_DT, _P_DX, _P_DY, _P_F, _P_TAUU, _P_TAUV, _P_RC, _P_UE, _P_VE, \
 
 # VMEM budgets (f32): the rich whole-loop kernel keeps 12 precomputed
 # constants + 6 carry resident and fits ≤256²; larger grids use the tiled
-# substep-chunked kernel (pallas_evp_tiled.py) up to 2048².
+# substep-chunked kernel (pallas_evp_tiled.py); 2-D tiled above ny=1024.
 _MAX_POINTS_RICH = 65_536
-_MAX_POINTS_TILED = 4_194_304
+_MAX_POINTS_TILED = 16_777_216
 
 
 def _tiled_eligible(grid, nsub):
-    from .pallas_evp_tiled import TILE_ROWS, CHUNK_SUBSTEPS
-    # ny caps at 1024: one (TX+2W, ny) slab row-set must fit VMEM even at TX=8
-    return (grid.Nx % TILE_ROWS == 0 and nsub % CHUNK_SUBSTEPS == 0
-            and grid.Ny <= 1024
-            and grid.Nx * grid.Ny <= _MAX_POINTS_TILED)
+    from .pallas_evp_tiled import (TILE_ROWS, CHUNK_SUBSTEPS, _Y_SLAB_MAX,
+                                   _pick_tiles_2d)
+    if nsub % CHUNK_SUBSTEPS or grid.Nx * grid.Ny > _MAX_POINTS_TILED:
+        return False
+    if grid.Ny <= _Y_SLAB_MAX:  # x-slabs spanning full y
+        return grid.Nx % TILE_ROWS == 0
+    return _pick_tiles_2d(grid.Nx, grid.Ny, CHUNK_SUBSTEPS) is not None
 
 
 def _scalar(x):
+    if isinstance(x, StressFunction):
+        return False  # time-dependent stress -> jnp path
     return x is None or np.ndim(x) == 0
 
 

@@ -34,7 +34,7 @@ from .pallas_evp import (_P_DT, _P_DX, _P_DY, _P_F, _P_TAUU, _P_TAUV, _P_RC,
                          _P_UE, _P_VE, _P_EINV2, _P_AMIN, _P_AMAX, _P_CALPHA,
                          _P_DMIN, _P_MASSMIN, _P_CONCMIN, _P_REPL)
 from .rheologies import ElastoViscoPlasticRheology, ice_strength
-from .stresses import SemiImplicitStress
+from .stresses import SemiImplicitStress, StressFunction
 
 _VMEM_BUDGET = 12 * 2 ** 20
 
@@ -68,6 +68,8 @@ def padded_fused_available(model):
         return False
 
     def ok_val(x):
+        if isinstance(x, StressFunction):
+            return False  # time-dependent stress -> jnp path
         return (x is None or np.ndim(x) == 0
                 or getattr(x, "shape", None) == grid.shape)
 

@@ -16,6 +16,13 @@ doubly-periodic f32 rectilinear grid, scalar stresses.  The x overlap
 contiguous (n_tiles·(TX+2W), ny) slab array, so BlockSpec's non-overlapping
 blocks each see exactly one halo-extended slab; y shifts remain exact
 circular rolls.
+
+For ``ny > 1024`` (a slab spanning the full y extent no longer fits VMEM)
+the same trick is applied in y: blocks carry a Wy = 64-column wrap overlap
+(64 keeps the lane dimension a multiple of 128 and bounds validity shrink
+for K ≤ 30), giving a 2-D (n_tiles_x × n_tiles_y) grid of halo-extended
+tiles.  Redundant-compute factor at 2048²: ~1.7× — far cheaper than the
+jnp path's ~24 HBM array-passes per substep.
 """
 
 from __future__ import annotations
@@ -36,6 +43,8 @@ _P_PARITY = 17  # spare params slot: global substep offset of the chunk
 
 CHUNK_SUBSTEPS = 8           # K: substeps per chunk
 TILE_ROWS = 128              # TX: max interior rows per slab
+WY = 64                      # y-overlap for 2-D tiling (lane-aligned, ≥ 2K+3)
+_Y_SLAB_MAX = 1024           # widest full-y slab; beyond this, tile y too
 _VMEM_BUDGET = 13 * 2 ** 20  # leave headroom under the 16 MB scoped limit
 
 
@@ -53,11 +62,39 @@ def _pick_tile_rows(N, ny, K):
     return 8
 
 
-def _tiled_kernel(K, TX, W, params_ref,
+def _pick_tiles_2d(N, ny, K):
+    """(TX, TY) for the 2-D tiled path (ny > 1024): minimize the
+    redundant-compute ratio over divisors with lane/sublane-aligned blocks."""
+    Wx = 2 * K + 3
+    best = None
+    for TY in (1024, 896, 768, 640, 512, 384, 256, 128):
+        if ny % TY or (TY + 2 * WY) % 128:
+            continue
+        for TX in (256, 128, 64, 32, 16, 8):
+            if N % TX:
+                continue
+            bx = TX + 2 * Wx
+            bx += (-bx) % 8
+            # 2-D tiles allocate ~40 live block-sized f32 arrays (measured
+            # 16.76 MB for a (168, 640) block — more roll temporaries than
+            # the 1-D slab case's 27)
+            if 40 * (bx + 8) * (TY + 2 * WY) * 4 > _VMEM_BUDGET:
+                continue
+            ratio = (bx / TX) * ((TY + 2 * WY) / TY)
+            if best is None or ratio < best[0]:
+                best = (ratio, TX, TY)
+            break  # larger TX under the same TY always has a lower ratio
+    if best is None:
+        return None
+    return best[1], best[2]
+
+
+def _tiled_kernel(K, TX, W, TY, Wy, params_ref,
                   m_ref, a_ref, P_ref, un_ref, vn_ref,
                   u_ref, v_ref, s11_ref, s22_ref, s12_ref, al_ref,
                   o_u_ref, o_v_ref, o_s11_ref, o_s22_ref, o_s12_ref, o_al_ref):
-    """One chunk of K substeps on one halo-extended x-slab (TX+2W rows)."""
+    """One chunk of K substeps on one halo-extended tile
+    ((TX+2W) × (TY+2Wy) when 2-D tiled; Wy = 0 → x-slabs spanning full y)."""
     p = params_ref
     dt = p[_P_DT]
     inv_dx = 1.0 / p[_P_DX]
@@ -200,12 +237,13 @@ def _tiled_kernel(K, TX, W, params_ref,
     u, v, s11, s22, s12, alpha = lax.fori_loop(0, K, body, init)
 
     sl = slice(W, W + TX)
-    o_u_ref[:] = u[sl]
-    o_v_ref[:] = v[sl]
-    o_s11_ref[:] = s11[sl]
-    o_s22_ref[:] = s22[sl]
-    o_s12_ref[:] = s12[sl]
-    o_al_ref[:] = alpha[sl]
+    sy = slice(Wy, Wy + TY)
+    o_u_ref[:] = u[sl, sy]
+    o_v_ref[:] = v[sl, sy]
+    o_s11_ref[:] = s11[sl, sy]
+    o_s22_ref[:] = s22[sl, sy]
+    o_s12_ref[:] = s12[sl, sy]
+    o_al_ref[:] = alpha[sl, sy]
 
 
 import numpy as _np
@@ -219,12 +257,16 @@ def _slab_indices(N, n_tiles, TX, W):
     return _np.concatenate(rows)
 
 
-def _slabs(q, n_tiles, TX, W):
-    """(N, ny) x-periodic array → (n_tiles·(TX+2W), ny): contiguous
-    halo-extended slabs (one static gather), so non-overlapping BlockSpec
-    blocks each get one."""
+def _slabs(q, n_tiles, TX, W, nty=1, TY=None, Wy=0):
+    """(N, ny) doubly-periodic array → contiguous halo-extended tiles
+    ((n_tiles·(TX+2W), nty·(TY+2Wy))): one static gather per dim, so
+    non-overlapping BlockSpec blocks each get one."""
     idx = _slab_indices(q.shape[0], n_tiles, TX, W)
-    return q[idx]
+    q = q[idx]
+    if nty > 1 or Wy:
+        idy = _slab_indices(q.shape[1], nty, TY, Wy)
+        q = q[:, idy]
+    return q
 
 
 def tiled_chunked_evp(nsub, params, m, a, P, un, vn,
@@ -235,29 +277,35 @@ def tiled_chunked_evp(nsub, params, m, a, P, un, vn,
     nsub % CHUNK_SUBSTEPS == 0 (checked by the caller)."""
     N, ny = u.shape
     K = CHUNK_SUBSTEPS
-    TX = _pick_tile_rows(N, ny, K)
+    if ny > _Y_SLAB_MAX:
+        TX, TY = _pick_tiles_2d(N, ny, K)
+        Wy = WY
+    else:
+        TX, TY, Wy = _pick_tile_rows(N, ny, K), ny, 0
     n_tiles = N // TX
+    nty = ny // TY
     W = 2 * K + 3
     while (TX + 2 * W) % 8:  # Mosaic needs sublane-divisible block rows
         W += 1
     n_chunks = nsub // K
 
-    kernel = functools.partial(_tiled_kernel, K, TX, W)
-    blk_in = pl.BlockSpec((TX + 2 * W, ny), lambda i: (i, 0),
+    kernel = functools.partial(_tiled_kernel, K, TX, W, TY, Wy)
+    blk_in = pl.BlockSpec((TX + 2 * W, TY + 2 * Wy), lambda i, j: (i, j),
                           memory_space=pltpu.VMEM)
-    blk_out = pl.BlockSpec((TX, ny), lambda i: (i, 0),
+    blk_out = pl.BlockSpec((TX, TY), lambda i, j: (i, j),
                            memory_space=pltpu.VMEM)
 
-    const_slabs = [_slabs(q, n_tiles, TX, W) for q in (m, a, P, un, vn)]
+    const_slabs = [_slabs(q, n_tiles, TX, W, nty, TY, Wy)
+                   for q in (m, a, P, un, vn)]
 
     def chunk(carry, k_chunk):
         u, v, s11, s22, s12, alpha = carry
         params_c = params.at[_P_PARITY].set((k_chunk * K).astype(jnp.float32))
-        carry_slabs = [_slabs(q, n_tiles, TX, W)
+        carry_slabs = [_slabs(q, n_tiles, TX, W, nty, TY, Wy)
                        for q in (u, v, s11, s22, s12, alpha)]
         outs = pl.pallas_call(
             kernel,
-            grid=(n_tiles,),
+            grid=(n_tiles, nty),
             out_shape=[jax.ShapeDtypeStruct((N, ny), jnp.float32)] * 6,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [blk_in] * 11,

@@ -10,18 +10,38 @@ Supported stress specifications:
 * ``None`` — zero;
 * a scalar;
 * an array (applied to both components? no — use a dict for components);
-* a dict ``{"u": ..., "v": ...}`` of per-component scalars/arrays
+* a dict ``{"u": ..., "v": ...}`` of per-component scalars/arrays/callables
   (NamedTuple analog, `sea_ice_external_stress.jl:22-27`);
+* a :class:`StressFunction` wrapping ``f(grid, clock, fields[, parameters])``
+  — a *time-dependent* stress evaluated inside the step (the functional
+  analog of the reference's per-iteration Field-refresh callbacks,
+  `examples/ice_advected_by_anticyclone.jl`); the callable is a static
+  pytree field so the wrapped model stays jittable;
 * :class:`SemiImplicitStress` — quadratic drag against an external fluid
-  (`sea_ice_external_stress.jl:84-202`).
+  (`sea_ice_external_stress.jl:84-202`); its ``ue``/``ve`` may likewise be
+  callables of ``(grid, clock, fields)``.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..utils import pytree_dataclass
+from ..utils import pytree_dataclass, static_field
 from ..ops import ixy_fc_of_cf, ixy_cf_of_fc
+
+
+@pytree_dataclass
+class StressFunction:
+    """Wrap a callable stress ``func(grid, clock, fields[, parameters])``.
+
+    The stress analog of :class:`~..thermodynamics.heat_bcs.FluxFunction`:
+    ``func`` is static (part of the jit cache key), ``parameters`` is a traced
+    leaf, so time-dependent winds/currents run on device with no per-step
+    host work (unlike the reference's host-side Field refresh in
+    `examples/ice_advected_by_anticyclone.jl:97-116`).
+    """
+    func: object = static_field()
+    parameters: object = None
 
 
 @pytree_dataclass
@@ -46,16 +66,26 @@ def _component(stress, comp):
     return stress
 
 
+def _value(x, grid, clock, fields):
+    """Resolve a scalar/array/StressFunction stress ingredient to a value."""
+    if isinstance(x, StressFunction):
+        if x.parameters is None:
+            return x.func(grid, clock, fields)
+        return x.func(grid, clock, fields, x.parameters)
+    return jnp.asarray(x, grid.np_dtype)
+
+
 def explicit_tau_x(grid, stress, clock, fields):
     stress = _component(stress, "u")
     if stress is None:
         return jnp.zeros(grid.shape, grid.np_dtype)
     if isinstance(stress, SemiImplicitStress):
-        ue = stress.ue
+        ue = _value(stress.ue, grid, clock, fields)
+        ve = _value(stress.ve, grid, clock, fields)
         du = ue - fields.u
-        dv = ixy_fc_of_cf(jnp.broadcast_to(stress.ve, grid.shape)) - ixy_fc_of_cf(fields.v)
+        dv = ixy_fc_of_cf(jnp.broadcast_to(ve, grid.shape)) - ixy_fc_of_cf(fields.v)
         return stress.rho_e * stress.Cd * jnp.sqrt(du ** 2 + dv ** 2) * ue
-    return jnp.asarray(stress, grid.np_dtype)
+    return _value(stress, grid, clock, fields)
 
 
 def explicit_tau_y(grid, stress, clock, fields):
@@ -63,18 +93,21 @@ def explicit_tau_y(grid, stress, clock, fields):
     if stress is None:
         return jnp.zeros(grid.shape, grid.np_dtype)
     if isinstance(stress, SemiImplicitStress):
-        ve = stress.ve
+        ue = _value(stress.ue, grid, clock, fields)
+        ve = _value(stress.ve, grid, clock, fields)
         dv = ve - fields.v
-        du = ixy_cf_of_fc(jnp.broadcast_to(stress.ue, grid.shape)) - ixy_cf_of_fc(fields.u)
+        du = ixy_cf_of_fc(jnp.broadcast_to(ue, grid.shape)) - ixy_cf_of_fc(fields.u)
         return stress.rho_e * stress.Cd * jnp.sqrt(du ** 2 + dv ** 2) * ve
-    return jnp.asarray(stress, grid.np_dtype)
+    return _value(stress, grid, clock, fields)
 
 
 def implicit_tau_x_coefficient(grid, stress, clock, fields):
     stress = _component(stress, "u")
     if isinstance(stress, SemiImplicitStress):
-        du = stress.ue - fields.u
-        dv = ixy_fc_of_cf(jnp.broadcast_to(stress.ve, grid.shape)) - ixy_fc_of_cf(fields.v)
+        ue = _value(stress.ue, grid, clock, fields)
+        ve = _value(stress.ve, grid, clock, fields)
+        du = ue - fields.u
+        dv = ixy_fc_of_cf(jnp.broadcast_to(ve, grid.shape)) - ixy_fc_of_cf(fields.v)
         return stress.rho_e * stress.Cd * jnp.sqrt(du ** 2 + dv ** 2)
     return jnp.zeros(grid.shape, grid.np_dtype)
 
@@ -82,8 +115,10 @@ def implicit_tau_x_coefficient(grid, stress, clock, fields):
 def implicit_tau_y_coefficient(grid, stress, clock, fields):
     stress = _component(stress, "v")
     if isinstance(stress, SemiImplicitStress):
-        dv = stress.ve - fields.v
-        du = ixy_cf_of_fc(jnp.broadcast_to(stress.ue, grid.shape)) - ixy_cf_of_fc(fields.u)
+        ue = _value(stress.ue, grid, clock, fields)
+        ve = _value(stress.ve, grid, clock, fields)
+        dv = ve - fields.v
+        du = ixy_cf_of_fc(jnp.broadcast_to(ue, grid.shape)) - ixy_cf_of_fc(fields.u)
         return stress.rho_e * stress.Cd * jnp.sqrt(du ** 2 + dv ** 2)
     return jnp.zeros(grid.shape, grid.np_dtype)
 
@@ -92,8 +127,10 @@ def x_momentum_stress(grid, stress, clock, fields):
     """Total x-stress τₓ = explicit − implicit·u (`sea_ice_external_stress.jl:33-37,162-167`)."""
     s = _component(stress, "u")
     if isinstance(s, SemiImplicitStress):
-        du = s.ue - fields.u
-        dv = ixy_fc_of_cf(jnp.broadcast_to(s.ve, grid.shape)) - ixy_fc_of_cf(fields.v)
+        ue = _value(s.ue, grid, clock, fields)
+        ve = _value(s.ve, grid, clock, fields)
+        du = ue - fields.u
+        dv = ixy_fc_of_cf(jnp.broadcast_to(ve, grid.shape)) - ixy_fc_of_cf(fields.v)
         return s.rho_e * s.Cd * jnp.sqrt(du ** 2 + dv ** 2) * du
     return (explicit_tau_x(grid, stress, clock, fields)
             - implicit_tau_x_coefficient(grid, stress, clock, fields) * fields.u)
@@ -102,8 +139,10 @@ def x_momentum_stress(grid, stress, clock, fields):
 def y_momentum_stress(grid, stress, clock, fields):
     s = _component(stress, "v")
     if isinstance(s, SemiImplicitStress):
-        dv = s.ve - fields.v
-        du = ixy_cf_of_fc(jnp.broadcast_to(s.ue, grid.shape)) - ixy_cf_of_fc(fields.u)
+        ue = _value(s.ue, grid, clock, fields)
+        ve = _value(s.ve, grid, clock, fields)
+        dv = ve - fields.v
+        du = ixy_cf_of_fc(jnp.broadcast_to(ue, grid.shape)) - ixy_cf_of_fc(fields.u)
         return s.rho_e * s.Cd * jnp.sqrt(du ** 2 + dv ** 2) * dv
     return (explicit_tau_y(grid, stress, clock, fields)
             - implicit_tau_y_coefficient(grid, stress, clock, fields) * fields.v)

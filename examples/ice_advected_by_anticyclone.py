@@ -5,10 +5,13 @@ wind stress over a linear ocean-drag field on a 512 km bounded box,
 128×128 grid, split-explicit αEVP, Δt = 2 min, 2 days.
 
 The reference refreshes the wind-stress Fields once per iteration with a
-callback; functionally we rebuild the (pytree) model with the new stress
-arrays each step — same treedef, so nothing recompiles.
+host-side callback (`ice_advected_by_anticyclone.jl:97-116`); here the wind
+is a :class:`~climaseaice_jl_tpu.StressFunction` evaluated *inside* the
+jitted step — the translating anticyclone is recomputed on device from
+``clock.time`` with zero per-step host work.
 """
 
+import jax.numpy as jnp
 import numpy as np
 
 import climaseaice_jl_tpu as csi
@@ -22,27 +25,32 @@ v_atmos = 30.0   # m/s atmospheric speed modifier
 
 def wind_velocity(x, y, t):
     center = 256 * km + 51.2 * km * t / day
-    r = np.sqrt((x - center) ** 2 + (y - center) ** 2)
-    s = 1 / 100 * np.exp(-r / (100 * km))
+    r = jnp.sqrt((x - center) ** 2 + (y - center) ** 2)
+    s = 1 / 100 * jnp.exp(-r / (100 * km))
     cosd, sind = np.cos(np.deg2rad(72)), np.sin(np.deg2rad(72))
     ua = -v_atmos * s * (cosd * (x - center) + sind * (y - center)) / 1000
     va = -v_atmos * s * (-sind * (x - center) + cosd * (y - center)) / 1000
     return ua, va
 
 
-def wind_stress_arrays(grid, t):
-    """τₐ = −ρₐ Cᴰ |Uₐ| Uₐ at the velocity points."""
-    xf = np.asarray(grid.xf)[:, None]
-    xc = np.asarray(grid.xc)[:, None]
-    yc = np.asarray(grid.yc)[None, :]
-    yf = np.asarray(grid.yf)[None, :]
-    ua_u, va_u = wind_velocity(xf, yc, t)   # at (f,c) for τu
-    ua_v, va_v = wind_velocity(xc, yf, t)   # at (c,f) for τv
+def _wind_stress(x, y, t, comp):
+    """τₐ = −ρₐ Cᴰ |Uₐ| Uₐ at the given points (traced; t = clock.time)."""
+    ua, va = wind_velocity(x, y, t)
     C = 1.3 * 1.2e-3
-    tau_u = -ua_u * np.sqrt(ua_u ** 2 + va_u ** 2) * C
-    tau_v = -va_v * np.sqrt(ua_v ** 2 + va_v ** 2) * C
-    return (np.broadcast_to(tau_u, grid.shape).astype(grid.np_dtype),
-            np.broadcast_to(tau_v, grid.shape).astype(grid.np_dtype))
+    w = ua if comp == "u" else va
+    return -w * jnp.sqrt(ua ** 2 + va ** 2) * C
+
+
+def wind_stress_u(grid, clock, fields):
+    x = jnp.asarray(grid.xf)[:, None]
+    y = jnp.asarray(grid.yc)[None, :]
+    return jnp.broadcast_to(_wind_stress(x, y, clock.time, "u"), grid.shape)
+
+
+def wind_stress_v(grid, clock, fields):
+    x = jnp.asarray(grid.xc)[:, None]
+    y = jnp.asarray(grid.yf)[None, :]
+    return jnp.broadcast_to(_wind_stress(x, y, clock.time, "v"), grid.shape)
 
 
 def build(N=128, substeps=150, dtype="float64"):
@@ -58,11 +66,11 @@ def build(N=128, substeps=150, dtype="float64"):
     Vo = np.broadcast_to(v_ocean * (L - 2 * xc) / L, grid.shape).astype(grid.np_dtype)
     tau_o = csi.SemiImplicitStress(ue=Uo, ve=Vo)
 
-    tau_u0, tau_v0 = wind_stress_arrays(grid, 0.0)
     dynamics = csi.SeaIceMomentumEquation(
         rheology=csi.ElastoViscoPlasticRheology(),
         coriolis=csi.FPlane(f=1e-4),
-        top_momentum_stress={"u": tau_u0, "v": tau_v0},
+        top_momentum_stress={"u": csi.StressFunction(func=wind_stress_u),
+                             "v": csi.StressFunction(func=wind_stress_v)},
         bottom_momentum_stress=tau_o,
         solver=csi.SplitExplicitSolver(substeps=substeps))
 
@@ -84,9 +92,6 @@ def main(stop_days=2.0, N=128, substeps=150, save_every=60):
     snapshots = []
     for n in range(nsteps):
         t = float(state.clock.time)
-        tau_u, tau_v = wind_stress_arrays(model.grid, t)
-        dyn = model.dynamics.evolve(top_momentum_stress={"u": tau_u, "v": tau_v})
-        model = model.evolve(dynamics=dyn)
         state = model_step(model, state, dt)
         if n % save_every == 0:
             I = model.grid.interior

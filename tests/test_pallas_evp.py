@@ -143,6 +143,52 @@ def test_tiled_kernel_bitwise_matches_lean():
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=name)
 
 
+def test_tiled_2d_kernel_bitwise_matches_lean(monkeypatch):
+    """The 2-D tiled path (y-overlap tiles, used for ny > 1024) is bit-identical
+    to the monolithic lean kernel; forced on at small size via _Y_SLAB_MAX."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import climaseaice_jl_tpu.dynamics.pallas_evp as pe
+    import climaseaice_jl_tpu.dynamics.pallas_evp_tiled as pt
+
+    monkeypatch.setattr(pt, "_Y_SLAB_MAX", 128)
+    monkeypatch.setattr(pt, "_pick_tiles_2d", lambda N, ny, K: (64, 128))
+
+    rng = np.random.default_rng(1)
+    N, ny = 128, 256   # → 2×2 grid of (64+2W, 128+2·64) tiles
+    f32 = jnp.float32
+    mk = lambda s=1.0, o=0.0: jnp.asarray(rng.random((N, ny)), f32) * s + o
+    m, a, P = mk(500., 100.), mk(0.5, 0.5), mk(1000., 10.)
+    un, vn = mk(0.02), mk(0.02)
+    u, v = un, vn
+    s11, s22, s12, al = mk(0.), mk(0.), mk(0.), mk(0., 300.)
+    params = (jnp.zeros(18, f32)
+              .at[pe._P_DT].set(60.).at[pe._P_DX].set(1000.).at[pe._P_DY].set(1000.)
+              .at[pe._P_F].set(1e-4).at[pe._P_TAUU].set(0.05).at[pe._P_TAUV].set(0.02)
+              .at[pe._P_RC].set(5.0).at[pe._P_UE].set(0.1).at[pe._P_VE].set(-0.05)
+              .at[pe._P_EINV2].set(0.25).at[pe._P_AMIN].set(50.).at[pe._P_AMAX].set(300.)
+              .at[pe._P_CALPHA].set(9.87).at[pe._P_DMIN].set(2e-9)
+              .at[pe._P_MASSMIN].set(1.0).at[pe._P_CONCMIN].set(1e-3)
+              .at[pe._P_REPL].set(1.0))
+
+    nsub = 16
+    kernel = functools.partial(pe._evp_kernel_lean, nsub)
+    lean = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((N, ny), f32)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        interpret=True)(params, m, a, P, un, vn, u, v, s11, s22, s12, al)
+    tiled = pt.tiled_chunked_evp(nsub, params, m, a, P, un, vn,
+                                 u, v, s11, s22, s12, al, interpret=True)
+    for name, x, y in zip(("u", "v", "s11", "s22", "s12", "alpha"), lean, tiled):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=name)
+
+
 def test_tiled_dispatch_stays_physical(monkeypatch):
     """Tiled dispatch through the model: finite and physically close to the
     rich whole-loop kernel.  (Tight agreement is impossible: near-uniform

@@ -6,8 +6,11 @@ step and advances the clock; plus the SemiImplicitStress ocean-drag
 monotonicity test (ice accelerates toward uₒ without overshoot).
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 import climaseaice_jl_tpu as csi
 
@@ -124,3 +127,42 @@ def test_evp_on_latitude_longitude_grid():
         q = np.asarray(I(getattr(state, name)))
         assert np.isfinite(q).all(), name
     assert np.abs(np.asarray(I(state.u))).max() < 1.0  # physical speeds
+
+
+def test_callable_time_dependent_stress():
+    """A stress callable f(grid, clock, fields) is evaluated in-step: the
+    functional analog of the reference's per-iteration wind-refresh callback
+    (`examples/ice_advected_by_anticyclone.jl`)."""
+    import numpy as np
+    from climaseaice_jl_tpu.dynamics.pallas_evp import fused_available
+    from climaseaice_jl_tpu.dynamics.pallas_evp_padded import padded_fused_available
+
+    grid = csi.RectilinearGrid(size=(16, 16), x=(0, 16e3), y=(0, 16e3),
+                               topology=("periodic", "periodic"))
+
+    def tau_u(grid, clock, fields):
+        return 0.1 * jnp.sin(2 * jnp.pi * clock.time / 86400.0) * jnp.ones(grid.shape, grid.np_dtype)
+
+    dyn = csi.SeaIceMomentumEquation(
+        top_momentum_stress={"u": csi.StressFunction(func=tau_u), "v": 0.0},
+        bottom_momentum_stress=csi.SemiImplicitStress(),
+        rheology=csi.ElastoViscoPlasticRheology(),
+        solver=csi.SplitExplicitSolver(substeps=20),
+    )
+    model = csi.sea_ice_model(grid=grid, dynamics=dyn, ice_thermodynamics=None)
+    assert not fused_available(model) and not padded_fused_available(model)
+
+    state = csi.initial_state(model, h=1.0, a=1.0)
+    s1 = csi.step(model, state, 600.0)       # τ(t=0) = 0 → no motion
+    assert float(jnp.max(jnp.abs(s1.u))) == 0.0
+    s1 = dataclasses.replace(s1, clock=csi.Clock(time=jnp.asarray(21600.0), iteration=s1.clock.iteration))
+    s2 = csi.step(model, s1, 600.0)          # τ(t=6h) = 0.1 → accelerates
+    assert float(jnp.max(jnp.abs(s2.u))) > 0.0
+    assert bool(jnp.all(jnp.isfinite(s2.u)))
+
+    # equivalence with the equivalent static-array stress at fixed time
+    dyn_static = dataclasses.replace(
+        dyn, top_momentum_stress={"u": np.asarray(tau_u(grid, csi.Clock(time=jnp.asarray(21600.0)), None)), "v": 0.0})
+    model_s = csi.sea_ice_model(grid=grid, dynamics=dyn_static, ice_thermodynamics=None)
+    s2s = csi.step(model_s, s1, 600.0)
+    assert float(jnp.max(jnp.abs(s2.u - s2s.u))) < 1e-13
