@@ -311,13 +311,25 @@ def CurvilinearGrid(corner_longitude, corner_latitude,
     Hy = 0 if topo[1] == FLAT else halo
     npdt = np.dtype(dtype)
 
-    # midpoints and centers from corners (index [i, j] = corner i-1/2, j-1/2)
-    lam_xm = 0.5 * (lam[:-1] + lam[1:])          # y-face midpoints (c,f): (Nx, Ny+1)
-    phi_xm = 0.5 * (phi[:-1] + phi[1:])
-    lam_ym = 0.5 * (lam[:, :-1] + lam[:, 1:])    # x-face midpoints (f,c): (Nx+1, Ny)
-    phi_ym = 0.5 * (phi[:, :-1] + phi[:, 1:])
-    lam_c = 0.25 * (lam[:-1, :-1] + lam[1:, :-1] + lam[:-1, 1:] + lam[1:, 1:])
-    phi_c = 0.25 * (phi[:-1, :-1] + phi[1:, :-1] + phi[:-1, 1:] + phi[1:, 1:])
+    # midpoints and centers from corners (index [i, j] = corner i-1/2, j-1/2),
+    # averaged as 3-D unit vectors: naive λ averaging breaks at the ±180°
+    # branch cut (a tripolar cap column straddling it got a ~180°-off
+    # midpoint → a 5800 km cell) and degrades near the poles.
+    def _to_xyz(lam_d, phi_d):
+        lr, pr = np.deg2rad(lam_d), np.deg2rad(phi_d)
+        cp = np.cos(pr)
+        return np.stack([cp * np.cos(lr), cp * np.sin(lr), np.sin(pr)])
+
+    def _to_ll(v):
+        v = v / np.linalg.norm(v, axis=0, keepdims=True)
+        return (np.rad2deg(np.arctan2(v[1], v[0])),
+                np.rad2deg(np.arcsin(np.clip(v[2], -1.0, 1.0))))
+
+    xyz = _to_xyz(lam, phi)
+    lam_xm, phi_xm = _to_ll(xyz[:, :-1] + xyz[:, 1:])      # y-face midpoints (c,f)
+    lam_ym, phi_ym = _to_ll(xyz[:, :, :-1] + xyz[:, :, 1:])  # x-face midpoints (f,c)
+    lam_c, phi_c = _to_ll(xyz[:, :-1, :-1] + xyz[:, 1:, :-1]
+                          + xyz[:, :-1, 1:] + xyz[:, 1:, 1:])
 
     # --- interior metric arrays ------------------------------------------------
     # Δx at (c,c): between the cell's west/east x-face midpoints
@@ -412,8 +424,10 @@ def TripolarGrid(size, southernmost_latitude=-80.0, transition_latitude=62.0,
     curves are confocal hyperbolae converging into the poles.  The map is
     conformal, so the grid is orthogonal in the cap; at the transition
     circle the ellipse has eccentricity ~(1 − tanh u_t), so larger
-    ``cap_smoothness`` (= u_t) gives a smoother junction with the lat-lon
-    rows (default 2.5 → ~1.3 % metric kink).
+    ``cap_smoothness`` (= u_t) gives rounder transition rows.  The u-steps
+    are geometrically graded (Madec & Imbard 1996-style smooth junction) so
+    the first cap row spacing matches the lat-lon Δφ row spacing: the
+    junction Δy kink stays within the cap's own row-to-row grading ratio.
 
     ``size = (Nx, Ny)``: Nx pseudo-longitudes (even), Ny total rows; about a
     quarter of the rows go to the cap.  ``poles_longitude``: longitude of
@@ -445,9 +459,38 @@ def TripolarGrid(size, southernmost_latitude=-80.0, transition_latitude=62.0,
     phi_corners[:, :Ny_s + 1] = phi_rows_s[None, :]
 
     v = lam_1d * deg                       # pseudo-longitude angle
+
+    # geometrically graded u-steps: first physical step ≈ the lat-lon row
+    # spacing R·Δφ (v-averaged conformal factor a|sinh(u+iv)|·2/(1+r²)),
+    # common ratio g solved so the steps sum to u_t.
+    dphi = (transition_latitude - southernmost_latitude) / Ny_s * deg
+
+    def _factor(u):
+        w = np.sinh(u + 1j * v[:-1])
+        r2 = np.abs(a * np.cosh(u + 1j * v[:-1])) ** 2
+        return float(np.mean(np.abs(w) * 2.0 / (1.0 + r2)))
+
+    du0 = dphi / (a * _factor(u_t))
+    if 0 < du0 < u_t:
+        lo, hi = 1e-3, 100.0
+        for _ in range(200):
+            g = 0.5 * (lo + hi)
+            tot = du0 * (Ny_cap if abs(g - 1) < 1e-12
+                         else (g ** Ny_cap - 1) / (g - 1))
+            lo, hi = (g, hi) if tot < u_t else (lo, g)
+        # a cap with few rows relative to its extent would need runaway
+        # growth; bound the grading ratio and let the junction keep a
+        # modest residual kink instead of blowing up the inner rows
+        if g > 1.25:
+            g = 1.25
+            du0 = u_t * (g - 1) / (g ** Ny_cap - 1)
+        du = du0 * g ** np.arange(Ny_cap)
+    else:  # degenerate sizing: fall back to uniform steps
+        du = np.full(Ny_cap, u_t / Ny_cap)
+    u_rows = u_t - np.concatenate([np.cumsum(du)[:-1], [u_t]])
+
     for j in range(1, Ny_cap + 1):
-        u = u_t * (1.0 - j / Ny_cap)
-        z = a * np.cosh(u + 1j * v)
+        z = a * np.cosh(u_rows[j - 1] + 1j * v)
         r = np.abs(z)
         lam_corners[:, Ny_s + j] = np.angle(z) / deg
         phi_corners[:, Ny_s + j] = 90.0 - 2.0 * np.arctan(r) / deg

@@ -21,9 +21,33 @@ def test_tripolar_metrics_positive_and_folded():
         assert np.isfinite(m).all(), name
         assert (m > 0).all(), name
     # cap cells shrink toward the poles: smallest area well below the median
+    # (but not pathologically so — the graded junction keeps spacing smooth)
     az = np.asarray(grid.interior(np.broadcast_to(np.asarray(grid.az_cc),
                                                   grid.shape)))
-    assert az.min() < 0.2 * np.median(az)
+    assert az.min() < 0.5 * np.median(az)
+    # no broken cells: the ±180° branch-cut midpoint bug produced a ~5800 km
+    # cell at i = Nx/2 — ~15x the Δy of every other cell in its own row
+    dy = np.asarray(grid.interior(np.broadcast_to(np.asarray(grid.dy_cc),
+                                                  grid.shape)))
+    row_ratio = dy.max(axis=0) / np.median(dy, axis=0)
+    assert row_ratio.max() < 2.0, row_ratio.max()
+
+
+def test_tripolar_junction_spacing_smooth():
+    """Madec–Imbard-style graded cap: the Δy ratio across the lat-lon/cap
+    junction stays within the cap's own row-to-row grading band (the
+    ungraded construction jumped 1.31–1.45x; the pre-fix branch-cut bug
+    17x)."""
+    Nx, Ny = 64, 64
+    grid = csi.TripolarGrid(size=(Nx, Ny))
+    Ny_s = Ny - max(4, Ny // 4)
+    dy = np.asarray(grid.dy_cc)[grid.Hx:grid.Hx + Nx, grid.Hy:grid.Hy + Ny]
+    ratios = dy[:, 1:] / dy[:, :-1]
+    junction = ratios[:, Ny_s]
+    assert junction.min() > 0.7 and junction.max() < 1.1,         (junction.min(), junction.max())
+    # the rows just inside the cap grade at a similar rate
+    inner = ratios[:, Ny_s + 1:Ny_s + 3]
+    assert abs(np.median(junction) - np.median(inner)) < 0.15
 
 
 def test_tripolar_cap_is_orthogonal():
