@@ -292,16 +292,14 @@ def _padded_kernel(nsub, fill_fc, fill_cf, params_ref,
     o_al_ref[:] = alpha
 
 
-def padded_fused_momentum_step(model, state, dt, u_start, v_start,
-                               interpret=False):
-    """Whole-loop padded fused step; returns the jnp path's update dict."""
+def _prepare_inputs(model, state, dt, u_start, v_start):
+    """Assemble the params vector, 20 const arrays, and 6 carry arrays shared
+    by the whole-array and tiled padded kernels."""
     from ..ops import ixf, iyf, ixy_ff
-    from ..fields import fill_halos_cc, fill_halos_fc, fill_halos_cf, fill_halos_ff
 
     grid = model.grid
     dyn = model.dynamics
     rheo = dyn.rheology
-    nsub = dyn.solver.substeps
     dt = jnp.asarray(dt, jnp.float32)
     masks = model.masks
 
@@ -398,15 +396,26 @@ def padded_fused_momentum_step(model, state, dt, u_start, v_start,
         jnp.zeros((), jnp.float32),
     ])
 
-    fill_fc, fill_cf = _make_fillers(grid)
-    kernel = functools.partial(_padded_kernel, nsub, fill_fc, fill_cf)
-
     consts = [P, Pff, gcc, gff, drag_u, invm_u, act_u, u_start,
               drag_v, invm_v, act_v, v_start,
               msk_cc, msk_ff, imm_u, imm_v,
               tau_u_top, tau_v_top, ue, ve]
     carry_in = [u_start, v_start, state.sig11, state.sig22, state.sig12,
                 state.alpha]
+    return params, consts, carry_in, P
+
+
+def padded_fused_momentum_step(model, state, dt, u_start, v_start,
+                               interpret=False):
+    """Whole-loop padded fused step; returns the jnp path's update dict."""
+    from ..fields import fill_halos_cc, fill_halos_ff
+
+    grid = model.grid
+    nsub = model.dynamics.solver.substeps
+    params, consts, carry_in, P = _prepare_inputs(model, state, dt,
+                                                  u_start, v_start)
+    fill_fc, fill_cf = _make_fillers(grid)
+    kernel = functools.partial(_padded_kernel, nsub, fill_fc, fill_cf)
 
     out_shape = [jax.ShapeDtypeStruct(grid.shape, jnp.float32)] * 6
     n_in = 1 + len(consts) + len(carry_in)

@@ -348,6 +348,12 @@ def momentum_step(model, state, dt, u_prev=None, v_prev=None):
                 upd = padded_fused_momentum_step(
                     model, state, dt, u_start, v_start, interpret=not on_tpu)
                 return state.evolve(**upd)
+            from .dynamics.pallas_evp_tiled_padded import (
+                tiled_padded_available, tiled_padded_momentum_step)
+            if tiled_padded_available(model) and (fused_mode == "always" or on_tpu):
+                upd = tiled_padded_momentum_step(
+                    model, state, dt, u_start, v_start, interpret=not on_tpu)
+                return state.evolve(**upd)
         upd = split_explicit_momentum_step(model, state, dt, u_start, v_start)
         return state.evolve(**upd)
     raise TypeError(f"unsupported solver {dyn.solver!r}")

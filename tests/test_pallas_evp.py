@@ -313,3 +313,104 @@ def test_padded_fused_array_stresses_match_jnp():
         scale = vel_scale if name in ("u", "v") else max(np.abs(b).max(), 1e-8)
         assert np.abs(a - b).max() / scale < 5e-4, \
             f"{name}: {np.abs(a - b).max() / scale}"
+
+
+@pytest.mark.parametrize("topo", [("bounded", "bounded"), ("periodic", "bounded")],
+                         ids=["bounded-x", "periodic-x"])
+def test_tiled_padded_matches_whole_padded(topo, monkeypatch):
+    """The substep-chunked tiled padded kernel (large bounded/immersed grids)
+    vs the whole-array padded kernel, forced tiling at small size.  Bounded-x
+    agrees bitwise; periodic-x to shape-dependent-FMA tolerance (the wrap
+    slab compiles differently from the halo array)."""
+    import climaseaice_jl_tpu.dynamics.pallas_evp_padded as pp
+    import climaseaice_jl_tpu.dynamics.pallas_evp_tiled_padded as tpd
+    from climaseaice_jl_tpu.model import update_state
+
+    km = 1000.0
+    grid = csi.RectilinearGrid(size=(32, 24), x=(0, 100 * km), y=(0, 100 * km),
+                               halo=5, dtype="float32", topology=topo)
+    mask = np.zeros((32, 24), bool)
+    mask[10:14, 8:12] = True
+    grid = csi.ImmersedBoundaryGrid(grid, mask)
+    dyn = csi.SeaIceMomentumEquation(
+        rheology=csi.ElastoViscoPlasticRheology(ice_compressive_strength=27.5),
+        coriolis=csi.FPlane(f=1e-4),
+        top_momentum_stress={"u": 0.05, "v": 0.02},
+        bottom_momentum_stress=csi.SemiImplicitStress(ue=0.1, ve=-0.05),
+        immersed_drag=csi.ImmersedDrag(coefficient=3e-3),
+        solver=csi.SplitExplicitSolver(substeps=16, fused="never"))
+    model = csi.sea_ice_model(grid, dynamics=dyn, ice_thermodynamics=None,
+                              advection=csi.WENO(order=5),
+                              timestepper="ForwardEuler")
+
+    def h0(x, y):
+        return 0.5 + 0.2 * np.sin(2 * np.pi * x / (100 * km)) * np.cos(np.pi * y / (100 * km))
+
+    state = update_state(model, csi.initial_state(model, h=h0, a=1.0, u=0.0))
+    whole = pp.padded_fused_momentum_step(model, state, 60.0, state.u, state.v,
+                                          interpret=True)
+    monkeypatch.setattr(tpd, "_pick_tile_rows", lambda Nx, nyp, K: 8)
+    tiled = tpd.tiled_padded_momentum_step(model, state, 60.0, state.u, state.v,
+                                           interpret=True)
+    I = model.grid.interior
+    tight = topo[0] == "bounded"
+    for name, tol in (("u", 1e-6), ("v", 1e-6),
+                      ("sig11", 2e-5), ("sig22", 2e-5), ("sig12", 2e-5),
+                      ("alpha", 1e-6)):
+        a = np.asarray(I(whole[name]))
+        b = np.asarray(I(tiled[name]))
+        assert np.isfinite(b).all(), name
+        if tight:
+            np.testing.assert_array_equal(a, b, err_msg=name)
+        else:
+            scale = max(np.abs(a).max(), 1e-8)
+            assert np.abs(a - b).max() / scale < tol, name
+
+
+@pytest.mark.parametrize("topo", [("bounded", "bounded"), ("periodic", "periodic")],
+                         ids=["bounded", "periodic"])
+def test_tiled_padded_2d_matches_whole_padded(topo, monkeypatch):
+    """The 2-D tiled branch (both dims stripped, conditional fills in x and y)
+    vs the whole-array padded kernel, forced on at small size."""
+    import climaseaice_jl_tpu.dynamics.pallas_evp_padded as pp
+    import climaseaice_jl_tpu.dynamics.pallas_evp_tiled_padded as tpd
+    from climaseaice_jl_tpu.model import update_state
+
+    km = 1000.0
+    grid = csi.RectilinearGrid(size=(32, 24), x=(0, 100 * km), y=(0, 100 * km),
+                               halo=5, dtype="float32", topology=topo)
+    mask = np.zeros((32, 24), bool)
+    mask[10:14, 8:12] = True
+    grid = csi.ImmersedBoundaryGrid(grid, mask)
+    dyn = csi.SeaIceMomentumEquation(
+        rheology=csi.ElastoViscoPlasticRheology(ice_compressive_strength=27.5),
+        coriolis=csi.FPlane(f=1e-4),
+        top_momentum_stress={"u": 0.05, "v": 0.02},
+        bottom_momentum_stress=csi.SemiImplicitStress(ue=0.1, ve=-0.05),
+        immersed_drag=csi.ImmersedDrag(coefficient=3e-3),
+        solver=csi.SplitExplicitSolver(substeps=16, fused="never"))
+    model = csi.sea_ice_model(grid, dynamics=dyn, ice_thermodynamics=None,
+                              advection=csi.WENO(order=5),
+                              timestepper="ForwardEuler")
+
+    def h0(x, y):
+        return 0.5 + 0.2 * np.sin(2 * np.pi * x / (100 * km)) * np.cos(np.pi * y / (100 * km))
+
+    state = update_state(model, csi.initial_state(model, h=h0, a=1.0, u=0.0))
+    whole = pp.padded_fused_momentum_step(model, state, 60.0, state.u, state.v,
+                                          interpret=True)
+    monkeypatch.setattr(tpd, "_pick_tile_rows", lambda Nx, nyp, K: None)
+    monkeypatch.setattr(tpd, "_pick_tiles_2d", lambda Nx, Ny, K: (8, 12))
+    monkeypatch.setattr(tpd, "WY", 8)
+    tiled = tpd.tiled_padded_momentum_step(model, state, 60.0, state.u, state.v,
+                                           interpret=True)
+    I = model.grid.interior
+    for name, tol in (("u", 1e-6), ("v", 1e-6),
+                      ("sig11", 2e-5), ("sig22", 2e-5), ("sig12", 2e-5),
+                      ("alpha", 1e-6)):
+        a = np.asarray(I(whole[name]))
+        b = np.asarray(I(tiled[name]))
+        assert np.isfinite(b).all(), name
+        scale = max(np.abs(a).max(), 1e-8)
+        assert np.abs(a - b).max() / scale < tol, \
+            f"{name}: {np.abs(a - b).max() / scale}"
