@@ -414,3 +414,29 @@ def test_tiled_padded_2d_matches_whole_padded(topo, monkeypatch):
         scale = max(np.abs(a).max(), 1e-8)
         assert np.abs(a - b).max() / scale < tol, \
             f"{name}: {np.abs(a - b).max() / scale}"
+
+
+def test_tiled_padded_dispatch_through_step(monkeypatch):
+    """model.momentum_step routes to the tiled padded kernel when the
+    whole-array padded kernel is VMEM-ineligible."""
+    import jax
+    import climaseaice_jl_tpu.model as M
+    import climaseaice_jl_tpu.dynamics.pallas_evp_padded as pp
+    import climaseaice_jl_tpu.dynamics.pallas_evp_tiled_padded as tpd
+
+    called = {}
+    real = tpd.tiled_padded_momentum_step
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(pp, "padded_fused_available", lambda m: False)
+    monkeypatch.setattr(tpd, "tiled_padded_momentum_step", spy)
+    monkeypatch.setattr(tpd, "_pick_tile_rows", lambda Nx, nyp, K: 8)
+    jax.clear_caches()
+
+    model_f, state_f = _build_bounded("always", substeps=16)
+    s = csi.step(model_f, state_f, 60.0)
+    assert called.get("yes"), "tiled padded kernel was not dispatched"
+    assert bool(np.isfinite(np.asarray(model_f.grid.interior(s.u))).all())
