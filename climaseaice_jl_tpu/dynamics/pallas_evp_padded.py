@@ -69,7 +69,10 @@ def padded_fused_available(model):
 
     def ok_val(x):
         if isinstance(x, StressFunction):
-            return False  # time-dependent stress -> jnp path
+            # evaluated once per momentum step at step-start clock/fields —
+            # the reference's update_external_stress! semantics
+            # (`split_explicit_momentum_equations.jl:133-134`)
+            return True
         return (x is None or np.ndim(x) == 0
                 or getattr(x, "shape", None) == grid.shape)
 
@@ -363,7 +366,13 @@ def _prepare_inputs(model, state, dt, u_start, v_start):
         imm_u = jnp.zeros(grid.shape, jnp.float32)
         imm_v = jnp.zeros(grid.shape, jnp.float32)
 
+    from .stresses import _value
+    from ..model import make_fields
+    fields = make_fields(model, state)
+
     def _f32(x):
+        if isinstance(x, StressFunction):
+            x = _value(x, grid, state.clock, fields)
         return jnp.asarray(0.0 if x is None else x, jnp.float32)
 
     def _arr(x):

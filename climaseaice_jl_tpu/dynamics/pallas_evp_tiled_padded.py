@@ -115,7 +115,7 @@ def tiled_padded_available(model):
 
     def ok_val(x):
         if isinstance(x, StressFunction):
-            return False
+            return True  # evaluated once per momentum step (see padded kernel)
         return (x is None or np.ndim(x) == 0
                 or getattr(x, "shape", None) == grid.shape)
 

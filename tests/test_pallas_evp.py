@@ -440,3 +440,55 @@ def test_tiled_padded_dispatch_through_step(monkeypatch):
     s = csi.step(model_f, state_f, 60.0)
     assert called.get("yes"), "tiled padded kernel was not dispatched"
     assert bool(np.isfinite(np.asarray(model_f.grid.interior(s.u))).all())
+
+
+def test_padded_fused_stress_function_matches_jnp():
+    """A clock-only StressFunction through the padded fused kernel equals the
+    jnp path exactly in semantics: both evaluate at the step-start clock
+    (the jnp path re-evaluates per substep, but clock is fixed within a
+    step), mirroring `update_external_stress!` once-per-step refresh."""
+    from climaseaice_jl_tpu.dynamics.pallas_evp_padded import padded_fused_available
+
+    km = 1000.0
+    N = 24
+    grid = csi.RectilinearGrid(size=(N, N), x=(0, 100 * km), y=(0, 100 * km),
+                               halo=5, dtype="float32",
+                               topology=("bounded", "bounded"))
+
+    import jax.numpy as jnp
+
+    def wind_u(grid, clock, fields):
+        t = clock.time
+        x = jnp.arange(grid.nxp, dtype=grid.np_dtype)[:, None]
+        return 0.05 * jnp.sin(2 * np.pi * x / N + t / 3600.0) * jnp.ones(grid.shape, grid.np_dtype)
+
+    def build(fused):
+        dyn = csi.SeaIceMomentumEquation(
+            rheology=csi.ElastoViscoPlasticRheology(ice_compressive_strength=27.5),
+            coriolis=csi.FPlane(f=1e-4),
+            top_momentum_stress={"u": csi.StressFunction(func=wind_u), "v": 0.02},
+            bottom_momentum_stress=csi.SemiImplicitStress(ue=0.1, ve=-0.05),
+            solver=csi.SplitExplicitSolver(substeps=10, fused=fused))
+        model = csi.sea_ice_model(grid, dynamics=dyn, ice_thermodynamics=None,
+                                  advection=csi.WENO(order=5),
+                                  timestepper="ForwardEuler")
+        def h0(x, y):
+            return 0.5 + 0.2 * np.sin(2 * np.pi * x / (100 * km)) * np.cos(np.pi * y / (100 * km))
+        return model, csi.initial_state(model, h=h0, a=1.0, u=0.02)
+
+    model_f, state_f = build("always")
+    assert padded_fused_available(model_f)
+    model_j, state_j = build("never")
+    for _ in range(3):
+        state_f = csi.step(model_f, state_f, 60.0)
+        state_j = csi.step(model_j, state_j, 60.0)
+    I = model_f.grid.interior
+    vel_scale = max(np.abs(np.asarray(I(state_j.u))).max(),
+                    np.abs(np.asarray(I(state_j.v))).max(), 1e-8)
+    for name, tol in (("u", 2e-4), ("v", 2e-4), ("h", 1e-5)):
+        a = np.asarray(I(getattr(state_f, name)))
+        b = np.asarray(I(getattr(state_j, name)))
+        assert np.isfinite(a).all(), name
+        scale = vel_scale if name in ("u", "v") else max(np.abs(b).max(), 1e-8)
+        assert np.abs(a - b).max() / scale < tol, \
+            f"{name}: {np.abs(a - b).max() / scale}"
