@@ -48,9 +48,9 @@ _ARRAY_MULT = 75  # measured: 17.49 MB scoped for a (56, 1034) slab (26 inputs)
 WY = 64           # y-overlap for 2-D tiles (lane-aligned, ≥ 2K+3)
 
 
-def _pick_tile_rows(Nx, nyp, K):
+def _pick_tile_rows(Nx, nyp, K, periodic_x=False):
     """1-D x-slab tiling (slab spans full padded y)."""
-    W = 2 * K + 3
+    W = 3 * K + 3 if periodic_x else 2 * K + 3
     for TX in (128, 64, 32, 16, 8):
         if Nx % TX:
             continue
@@ -61,10 +61,10 @@ def _pick_tile_rows(Nx, nyp, K):
     return None
 
 
-def _pick_tiles_2d(Nx, Ny, K):
+def _pick_tiles_2d(Nx, Ny, K, periodic_x=False):
     """2-D tiling for wide grids: minimize redundant compute over aligned
     divisors under the VMEM budget."""
-    Wx = 2 * K + 3
+    Wx = 3 * K + 3 if periodic_x else 2 * K + 3
     best = None
     for TY in (1024, 512, 256, 128):
         if Ny % TY or (TY + 2 * WY) % 128:
@@ -109,8 +109,13 @@ def tiled_padded_available(model):
         return False
     if grid.np_dtype != np.dtype("float32"):
         return False
-    if (_pick_tile_rows(grid.Nx, grid.nyp, CHUNK_SUBSTEPS) is None
-            and _pick_tiles_2d(grid.Nx, grid.Ny, CHUNK_SUBSTEPS) is None):
+    # HBM bound: gathered const slabs (20 arrays x ~2.5x overlap redundancy)
+    # persist across chunks
+    if grid.Nx * grid.Ny > 20_000_000:
+        return False
+    px = grid.topology[0] == PERIODIC
+    if (_pick_tile_rows(grid.Nx, grid.nyp, CHUNK_SUBSTEPS, px) is None
+            and _pick_tiles_2d(grid.Nx, grid.Ny, CHUNK_SUBSTEPS, px) is None):
         return False
 
     def ok_val(x):
@@ -387,12 +392,12 @@ def tiled_padded_momentum_step(model, state, dt, u_start, v_start,
     periodic_x = grid.topology[0] == PERIODIC
     periodic_y = grid.topology[1] == PERIODIC
     K = CHUNK_SUBSTEPS
-    TX = _pick_tile_rows(Nx, nyp, K)
+    TX = _pick_tile_rows(Nx, nyp, K, periodic_x)
     if TX is not None:
         TY, Wy = nyp, 0
         nty = 1
     else:
-        TX, TY = _pick_tiles_2d(Nx, Ny, K)
+        TX, TY = _pick_tiles_2d(Nx, Ny, K, periodic_x)
         Wy = WY
         nty = Ny // TY
     n_tiles = Nx // TX
