@@ -55,45 +55,59 @@ def _exchange(q, axis, axis_name, P, H, N):
     return q.at[:, :H].set(from_left).at[:, H + N:].set(from_right)
 
 
-def _fill_x_distributed(q, grid: Grid, face: bool):
+def _bc_x_meshed(q, grid: Grid, face: bool, seam=None):
+    """Physical wall BC on the x-meshed direction, applied only on the shards
+    at the global domain edge.  ``seam``: pre-exchange east-wall face value to
+    restore (the ring exchange clobbers it on the last shard); None when no
+    exchange preceded this call (local-only fills)."""
     H, N = grid.Hx, grid.Nx
     P = grid.mesh_shape[0]
-    name = grid.mesh_axes[0]
-    seam = q[H + N] if face else None  # east-wall face value, pre-exchange
-    q = _exchange(q, 0, name, P, H, N)
-    if grid.topology[0] == BOUNDED:
-        ix = lax.axis_index(name)
-        if face:
-            left_bc = jnp.zeros_like(q[:H])
-            right_bc = jnp.zeros_like(q[H + N + 1:])
-            q = q.at[:H].set(jnp.where(ix == 0, left_bc, q[:H]))
-            q = q.at[H + N + 1:].set(jnp.where(ix == P - 1, right_bc, q[H + N + 1:]))
-            # the global east-wall face is a physical DOF: the ring exchange
-            # clobbered it on the last shard — restore (serial fill keeps it)
+    ix = lax.axis_index(grid.mesh_axes[0])
+    if face:
+        left_bc = jnp.zeros_like(q[:H])
+        right_bc = jnp.zeros_like(q[H + N + 1:])
+        q = q.at[:H].set(jnp.where(ix == 0, left_bc, q[:H]))
+        q = q.at[H + N + 1:].set(jnp.where(ix == P - 1, right_bc, q[H + N + 1:]))
+        if seam is not None:
             q = q.at[H + N].set(jnp.where(ix == P - 1, seam, q[H + N]))
-        else:
-            q = q.at[:H].set(jnp.where(ix == 0, q[H:H + 1], q[:H]))
-            q = q.at[H + N:].set(jnp.where(ix == P - 1, q[H + N - 1:H + N], q[H + N:]))
+    else:
+        q = q.at[:H].set(jnp.where(ix == 0, q[H:H + 1], q[:H]))
+        q = q.at[H + N:].set(jnp.where(ix == P - 1, q[H + N - 1:H + N], q[H + N:]))
+    return q
+
+
+def _bc_y_meshed(q, grid: Grid, face: bool, seam=None):
+    H, N = grid.Hy, grid.Ny
+    P = grid.mesh_shape[1]
+    iy = lax.axis_index(grid.mesh_axes[1])
+    if face:
+        q = q.at[:, :H].set(jnp.where(iy == 0, jnp.zeros_like(q[:, :H]), q[:, :H]))
+        q = q.at[:, H + N + 1:].set(
+            jnp.where(iy == P - 1, jnp.zeros_like(q[:, H + N + 1:]), q[:, H + N + 1:]))
+        if seam is not None:
+            q = q.at[:, H + N].set(jnp.where(iy == P - 1, seam, q[:, H + N]))
+    else:
+        q = q.at[:, :H].set(jnp.where(iy == 0, q[:, H:H + 1], q[:, :H]))
+        q = q.at[:, H + N:].set(
+            jnp.where(iy == P - 1, q[:, H + N - 1:H + N], q[:, H + N:]))
+    return q
+
+
+def _fill_x_distributed(q, grid: Grid, face: bool):
+    H, N = grid.Hx, grid.Nx
+    seam = q[H + N] if face else None  # east-wall face value, pre-exchange
+    q = _exchange(q, 0, grid.mesh_axes[0], grid.mesh_shape[0], H, N)
+    if grid.topology[0] == BOUNDED:
+        q = _bc_x_meshed(q, grid, face, seam=seam)
     return q
 
 
 def _fill_y_distributed(q, grid: Grid, face: bool):
     H, N = grid.Hy, grid.Ny
-    P = grid.mesh_shape[1]
-    name = grid.mesh_axes[1]
     seam = q[:, H + N] if face else None  # north-wall/seam face, pre-exchange
-    q = _exchange(q, 1, name, P, H, N)
+    q = _exchange(q, 1, grid.mesh_axes[1], grid.mesh_shape[1], H, N)
     if grid.topology[1] == BOUNDED:
-        iy = lax.axis_index(name)
-        if face:
-            q = q.at[:, :H].set(jnp.where(iy == 0, jnp.zeros_like(q[:, :H]), q[:, :H]))
-            q = q.at[:, H + N + 1:].set(
-                jnp.where(iy == P - 1, jnp.zeros_like(q[:, H + N + 1:]), q[:, H + N + 1:]))
-            q = q.at[:, H + N].set(jnp.where(iy == P - 1, seam, q[:, H + N]))
-        else:
-            q = q.at[:, :H].set(jnp.where(iy == 0, q[:, H:H + 1], q[:, :H]))
-            q = q.at[:, H + N:].set(
-                jnp.where(iy == P - 1, q[:, H + N - 1:H + N], q[:, H + N:]))
+        q = _bc_y_meshed(q, grid, face, seam=seam)
     return q
 
 
@@ -172,11 +186,46 @@ def _fill_y_fold(q, grid: Grid, xface: bool, yface: bool, sign: float):
     return q
 
 
+def _fill_y_fold_xmeshed(q, grid: Grid, xface: bool, yface: bool, sign: float):
+    """Fold fill when the x direction is split across the device mesh: shard
+    ix's fold sources live on the mirror shard Px−1−ix (plus a one-column
+    offset for x-face fields), so gather the top interior rows across the
+    x axis and index them globally — exact serial arithmetic, including the
+    halo-corner columns (the serial fold reads interior source columns only,
+    see `_x_fold_indices`)."""
+    Hx, Hy, nx, Ny = grid.Hx, grid.Hy, grid.Nx, grid.Ny
+    name_x = grid.mesh_axes[0]
+    Px = grid.mesh_shape[0]
+    Nx_g = nx * Px
+    # top Hy interior rows + the seam face row, interior columns only
+    block = q[Hx:Hx + nx, Hy + Ny - Hy:Hy + Ny + 1]          # (nx, Hy+1)
+    gathered = lax.all_gather(block, name_x, axis=0, tiled=True)  # (Nx_g, Hy+1)
+    ix = lax.axis_index(name_x)
+    p = jnp.arange(q.shape[0])
+    g = ix * nx + (p - Hx)                  # global column of each local column
+    src = (Nx_g - g) % Nx_g if xface else (Nx_g - 1 - g) % Nx_g
+    rows = sign * gathered[src, :]          # (nxp, Hy+1) fold-mirrored top rows
+    # rows[:, k] = mirrored global interior row Ny−Hy+k; rows[:, Hy] = seam row
+    if not yface:
+        new = jnp.stack([rows[:, Hy - 1 - k] for k in range(Hy)], axis=1)
+        return q.at[:, Hy + Ny:].set(new)
+    seam = 0.5 * (q[:, Hy + Ny] + rows[:, Hy])
+    q = q.at[:, Hy + Ny].set(seam)
+    if Hy > 1:
+        new = jnp.stack([rows[:, Hy - k] for k in range(1, Hy)], axis=1)
+        q = q.at[:, Hy + Ny + 1:].set(new)
+    return q
+
+
 def _maybe_fold(q, grid: Grid, xface: bool, yface: bool, sign: float):
     if not (grid.north_fold and grid.Hy > 0):
         return q
     if _meshed(grid, 0):
-        raise NotImplementedError("north_fold with an x-split device mesh")
+        folded = _fill_y_fold_xmeshed(q, grid, xface, yface, sign)
+        if _meshed(grid, 1):
+            iy = lax.axis_index(grid.mesh_axes[1])
+            return jnp.where(iy == grid.mesh_shape[1] - 1, folded, q)
+        return folded
     if _meshed(grid, 1):
         # only the northernmost y-shard folds (`distributed_tests_utils.jl:231-257`
         # tests the fold on the top rank)
@@ -223,27 +272,52 @@ FILLERS = {
 # --- local-only fills (communication-avoiding wide-halo mode) -----------------
 # Analog of the reference's `fill_halo_regions!(…; only_local_halos=true)`
 # (`split_explicit_momentum_equations.jl:170-187`): sides split across the
-# device mesh are left stale (their wide halos were exchanged once, before the
-# substep loop), while physical-boundary sides are refreshed locally.
+# device mesh skip the exchange (their wide halos were exchanged once, before
+# the substep loop), but *physical* boundary conditions are still refreshed —
+# walls on global-edge shards and the Zipper fold (a within-shard mirror when
+# x is not meshed), exactly like the reference's local fills which always
+# apply non-MPI BCs.
 
 def _fill_x_local(q, grid: Grid, face: bool):
     if _meshed(grid, 0):
+        if grid.topology[0] == BOUNDED:
+            return _bc_x_meshed(q, grid, face)
         return q
     return _fill_x(q, grid, face)
 
 
 def _fill_y_local(q, grid: Grid, face: bool):
     if _meshed(grid, 1):
+        if grid.topology[1] == BOUNDED:
+            return _bc_y_meshed(q, grid, face)
         return q
     return _fill_y(q, grid, face)
 
 
+def _maybe_fold_local(q, grid: Grid, xface: bool, yface: bool, sign: float):
+    if not (grid.north_fold and grid.Hy > 0):
+        return q
+    if _meshed(grid, 0):
+        # cross-shard fold needs an all_gather per fill — incompatible with
+        # communication-avoiding substepping (guarded in make_distributed_step)
+        raise NotImplementedError(
+            "local-only fills cannot refresh a north fold split across the "
+            "x mesh; use halo_exchange='per_substep'")
+    if _meshed(grid, 1):
+        folded = _fill_y_fold(q, grid, xface, yface, sign)
+        iy = lax.axis_index(grid.mesh_axes[1])
+        return jnp.where(iy == grid.mesh_shape[1] - 1, folded, q)
+    return _fill_y_fold(q, grid, xface, yface, sign)
+
+
 def fill_halos_fc_local(q, grid: Grid):
-    return _fill_y_local(_fill_x_local(q, grid, True), grid, False)
+    q = _fill_y_local(_fill_x_local(q, grid, True), grid, False)
+    return _maybe_fold_local(q, grid, True, False, -1.0)
 
 
 def fill_halos_cf_local(q, grid: Grid):
-    return _fill_y_local(_fill_x_local(q, grid, False), grid, True)
+    q = _fill_y_local(_fill_x_local(q, grid, False), grid, True)
+    return _maybe_fold_local(q, grid, False, True, -1.0)
 
 
 # --- peripheral / immersed masks --------------------------------------------

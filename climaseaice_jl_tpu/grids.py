@@ -544,7 +544,16 @@ def _extend_mask(mask, grid):
             mask[:, Hy + Ny:] = mask[:, Hy:2 * Hy]
         else:
             mask[:, :Hy] = True
-            mask[:, Hy + Ny:] = True
+            if grid.north_fold:
+                # the folded north edge is connected, not a wall: halo cells
+                # are the fold image of the top interior rows (matching the
+                # Zipper halo fill for cc fields, fields._fill_y_fold)
+                p = np.arange(mask.shape[0])
+                src = ((Nx - 1 - (p - Hx)) % Nx) + Hx
+                for k in range(Hy):
+                    mask[:, Hy + Ny + k] = mask[src, Hy + Ny - 1 - k]
+            else:
+                mask[:, Hy + Ny:] = True
     return mask
 
 
@@ -567,10 +576,65 @@ def with_halo(grid: Grid, halo):
         y1 = float(grid.yf[grid.Hy] + grid.Ny * (grid.yf[1] - grid.yf[0])) \
             if grid.topology[1] != FLAT else 1.0
         g = RectilinearGrid((grid.Nx, grid.Ny), x=(x0, x1), y=(y0, y1),
-                            topology=grid.topology, halo=halo, dtype=grid.dtype)
+                            topology=grid.topology, halo=halo, dtype=grid.dtype,
+                            north_fold=grid.north_fold)
+    elif grid.kind == "latlon":
+        # reconstruct the constructor arguments from the stored grid: uniform
+        # spacings, so extent = first face + N·Δ; radius from Δy = R Δφ_rad
+        dlam = float(grid.xf[1] - grid.xf[0])
+        dphi = float(grid.yf[1] - grid.yf[0])
+        lon0 = float(grid.xf[grid.Hx])
+        lat0 = float(grid.yf[grid.Hy])
+        radius = float(jnp.ravel(jnp.asarray(grid.dy_cc))[0]) / (dphi * np.pi / 180.0)
+        g = LatitudeLongitudeGrid((grid.Nx, grid.Ny),
+                                  longitude=(lon0, lon0 + grid.Nx * dlam),
+                                  latitude=(lat0, lat0 + grid.Ny * dphi),
+                                  topology=grid.topology, halo=halo,
+                                  dtype=grid.dtype, radius=radius)
     else:
-        raise NotImplementedError("with_halo for non-rectilinear grids")
+        g = _curvilinear_with_halo(grid, Hx, Hy)
     if grid.solid_cc is not None:
         interior_mask = np.asarray(grid.interior(grid.solid_cc))
         g = ImmersedBoundaryGrid(g, interior_mask)
     return g
+
+
+def _curvilinear_with_halo(grid: Grid, Hx, Hy):
+    """Re-pad a curvilinear grid's metric arrays with new halo widths using
+    the same extension rules as construction (periodic-x wrap / bounded edge
+    clamp in x, edge clamp in y) — bit-identical to building the grid with
+    the wider halo directly."""
+    Nx, Ny = grid.Nx, grid.Ny
+    npdt = grid.np_dtype
+
+    def repad(m):
+        q = np.asarray(grid.interior(m))
+        full = np.empty((Nx + 2 * Hx, Ny + 2 * Hy))
+        full[Hx:Hx + Nx, Hy:Hy + Ny] = q
+        if Hx:
+            if grid.topology[0] == PERIODIC:
+                full[:Hx, Hy:Hy + Ny] = q[Nx - Hx:, :]
+                full[Hx + Nx:, Hy:Hy + Ny] = q[:Hx, :]
+            else:
+                full[:Hx, Hy:Hy + Ny] = q[:1, :]
+                full[Hx + Nx:, Hy:Hy + Ny] = q[-1:, :]
+        if Hy:
+            full[:, :Hy] = full[:, Hy:Hy + 1]
+            full[:, Hy + Ny:] = full[:, Hy + Ny - 1:Hy + Ny]
+        return jnp.asarray(full, npdt)
+
+    idx_x = np.arange(-Hx, Nx + Hx, dtype=float) + 0.5
+    idx_xf = np.arange(-Hx, Nx + Hx, dtype=float)
+    idx_y = np.arange(-Hy, Ny + Hy, dtype=float) + 0.5
+    idx_yf = np.arange(-Hy, Ny + Hy, dtype=float)
+    return grid.evolve(
+        Hx=Hx, Hy=Hy,
+        xc=jnp.asarray(idx_x, npdt), xf=jnp.asarray(idx_xf, npdt),
+        yc=jnp.asarray(idx_y, npdt), yf=jnp.asarray(idx_yf, npdt),
+        dx_cc=repad(grid.dx_cc), dx_fc=repad(grid.dx_fc),
+        dx_cf=repad(grid.dx_cf), dx_ff=repad(grid.dx_ff),
+        dy_cc=repad(grid.dy_cc), dy_fc=repad(grid.dy_fc),
+        dy_cf=repad(grid.dy_cf), dy_ff=repad(grid.dy_ff),
+        az_cc=repad(grid.az_cc), az_fc=repad(grid.az_fc),
+        az_cf=repad(grid.az_cf), az_ff=repad(grid.az_ff),
+        solid_cc=None)

@@ -86,8 +86,23 @@ def _local_grid(grid, nx, ny, ix, iy, axes, mesh_shape):
         return lax.dynamic_slice(c, (iy * ny,), (ny + 2 * Hy,))
 
     def slice_metric(m):
-        if getattr(m, "ndim", 0) == 2:  # (1, nyp) latitude-dependent row
-            return lax.dynamic_slice(m, (0, iy * ny), (1, ny + 2 * Hy))
+        nd = getattr(m, "ndim", 0)
+        if nd == 2 and m.shape == grid.shape:
+            # full curvilinear/tripolar metric array: slice the shard's padded
+            # window in both directions (halo columns overlap the neighbors'
+            # interiors, exactly like the serial padded array's values there)
+            return lax.dynamic_slice(
+                m, (jnp.asarray(ix * nx, jnp.int32),
+                    jnp.asarray(iy * ny, jnp.int32)),
+                (nx + 2 * Hx, ny + 2 * Hy))
+        if nd == 2 and m.shape[0] == 1:  # (1, nyp) latitude-dependent row
+            return lax.dynamic_slice(
+                m, (jnp.asarray(0, jnp.int32), jnp.asarray(iy * ny, jnp.int32)),
+                (1, ny + 2 * Hy))
+        if nd != 0:
+            raise NotImplementedError(
+                f"cannot shard metric array of shape {m.shape} on grid "
+                f"{grid.shape}")
         return m
 
     return grid.evolve(
@@ -264,6 +279,12 @@ def make_distributed_step(model, mesh_shape, devices=None):
             and getattr(getattr(dyn, "solver", None), "halo_exchange", None) == "wide")
     if wide:
         from ..grids import with_halo
+        if grid.north_fold and Px > 1:
+            raise NotImplementedError(
+                "wide-halo EVP with a north fold split across the x mesh: the "
+                "fold refresh is a cross-shard collective, defeating "
+                "communication avoidance; use halo_exchange='per_substep' or "
+                "a (1, Py) mesh")
         H_needed = 2 * dyn.solver.substeps + 3
         Hw = max(H_needed, grid.Hx, grid.Hy)
         min_tile = min(nx if axes[0] else 10**9, ny if axes[1] else 10**9)
