@@ -29,6 +29,6 @@ from .thermodynamics import (LinearLiquidus, PhaseTransitions, melting_temperatu
 from .dynamics import (FPlane, BetaPlane, SemiImplicitStress, StressFunction, StressBalanceFreeDrift,
                        ViscousRheology, ElastoViscoPlasticRheology,
                        SeaIceMomentumEquation, ExplicitSolver, SplitExplicitSolver,
-                       ImmersedDrag)
+                       ImmersedDrag, ImmersedStressBC)
 
 __version__ = "0.1.0"

@@ -63,9 +63,42 @@ class SplitExplicitSolver:
 class ImmersedDrag:
     """Linear drag flux −C·u through faces adjacent to immersed cells —
     vectorized analog of the reference coastline example's immersed
-    FluxBoundaryConditions (`examples/ice_advected_on_coastline.jl`,
+    FluxBoundaryConditions (`examples/ice_advected_on_coastline.jl:91-98`,
     `ice_stress_divergence.jl:65-123`)."""
     coefficient: object = 3e-3
+
+
+@pytree_dataclass
+class ImmersedStressBC:
+    """General immersed flux boundary conditions on the stress divergence
+    (`ice_stress_divergence.jl:57-123` with FluxBoundaryCondition in discrete
+    form): ``u_flux``/``v_flux`` are callables
+    ``f(grid, clock, fields[, parameters])`` returning the boundary flux
+    sampled at every node.  The immersed stress divergence gates them to the
+    faces whose (f,f) node is immersed (`immersed_peripheral_node`), weights
+    by the face length, and evaluates each flux at the face's own index —
+    exactly the reference's `getbc(bc, i, jˢ/jᴺ, k, grid, clock, fields)`.
+    :class:`ImmersedDrag` is the special case ``flux = −C·u``.
+    """
+    u_flux: object = static_field(default=None)
+    v_flux: object = static_field(default=None)
+    parameters: object = None
+
+
+def _immersed_flux_values(imm, grid, clock, fields):
+    """(Fu, Fv): boundary flux arrays for the immersed stress divergence."""
+    if isinstance(imm, ImmersedDrag):
+        return -imm.coefficient * fields.u, -imm.coefficient * fields.v
+    zeros = jnp.zeros(grid.shape, grid.np_dtype)
+
+    def ev(f):
+        if f is None:
+            return zeros
+        if imm.parameters is None:
+            return f(grid, clock, fields)
+        return f(grid, clock, fields, imm.parameters)
+
+    return ev(imm.u_flux), ev(imm.v_flux)
 
 
 @pytree_dataclass
@@ -109,7 +142,8 @@ def velocity_tendencies(model, dyn, grid, dt, fields, clock):
     m_cf = iyf(m_cc)
 
     div_x, div_y = stress_divergence(dyn.rheology, grid, fields,
-                                     masks=(masks.solid_cc, masks.per_ff))
+                                     masks=(masks.solid_cc, masks.per_ff),
+                                     clock=clock)
 
     inv_m_fc = _inv(m_fc, m_fc > 0)
     inv_m_cf = _inv(m_cf, m_cf > 0)
@@ -133,26 +167,18 @@ def velocity_tendencies(model, dyn, grid, dt, fields, clock):
           + div_y * inv_m_cf
           + Fv)
 
-    if dyn.immersed_drag is not None and masks.per_ff is not None:
-        # immersed_∂ⱼσᵢⱼ with flux BC q̃ = −C·u on faces whose ff node is
-        # immersed (`ice_stress_divergence.jl:65-101,116-123`)
+    if dyn.immersed_drag is not None and masks.imm_ff is not None:
+        # immersed_∂ⱼσᵢⱼ with flux BCs on faces whose ff node is *immersed*
+        # peripheral (not a domain wall): for the u point the south/north
+        # (f,f) faces, (qᴺ − qˢ)/Az with q = flux·Δx_ff sampled at each face's
+        # own index; east/west analog for v
+        # (`ice_stress_divergence.jl:65-101,116-123`).
         from ..ops import shift_m
-        C = dyn.immersed_drag.coefficient
-        per_ff = masks.per_ff
-        per_fc = masks.per_fc
-        per_cf = masks.per_cf
-        n_face = shift_m(per_ff, 1) & ~per_fc   # north ff node of the u point
-        s_face = per_ff & ~per_fc
-        e_face = shift_m(per_ff, 0) & ~per_cf
-        w_face = per_ff & ~per_cf
-        bc_u = -C * fields.u
-        bc_v = -C * fields.v
-        dx_ff = jnp.broadcast_to(grid.dx_ff, grid.shape)
-        dy_ff = jnp.broadcast_to(grid.dy_ff, grid.shape)
-        imm_x = bc_u * (jnp.where(shift_m(per_ff, 1) & ~per_fc, shift_m(dx_ff, 1), 0.0)
-                        + jnp.where(s_face, dx_ff, 0.0)) / grid.az_fc
-        imm_y = bc_v * (jnp.where(shift_m(per_ff, 0) & ~per_cf, shift_m(dy_ff, 0), 0.0)
-                        + jnp.where(w_face, dy_ff, 0.0)) / grid.az_cf
+        Fu, Fv = _immersed_flux_values(dyn.immersed_drag, grid, clock, fields)
+        wx = jnp.where(masks.imm_ff, jnp.broadcast_to(grid.dx_ff, grid.shape), 0.0)
+        wy = jnp.where(masks.imm_ff, jnp.broadcast_to(grid.dy_ff, grid.shape), 0.0)
+        imm_x = (shift_m(Fu * wx, 1) + Fu * wx) / grid.az_fc
+        imm_y = (shift_m(Fv * wy, 0) + Fv * wy) / grid.az_cf
         Gu = Gu + imm_x * inv_m_fc
         Gv = Gv + imm_y * inv_m_cf
 

@@ -13,9 +13,10 @@ Immersed handling matches the jnp path:
 * σ read by the divergence is zeroed at solid cc nodes / peripheral ff nodes
   (conditional-flux analog) via constant masks;
 * velocities are killed on peripheral nodes via the activity masks;
-* `ImmersedDrag` enters as a precomputed geometric coefficient
-  g_u = C·(1_N·Δx_ff(N) + 1_S·Δx_ff(S))/Az_fc so the in-kernel term is just
-  −g_u·u·invm_u.
+* `ImmersedDrag` enters as precomputed geometric coefficients per face:
+  the in-kernel term is −(gˢ·u(i,j) + gᴺ·u(i,j+1))·invm_u with
+  g = C·1_imm·Δx_ff/Az sampled at each face's own ff index — exactly the jnp
+  path / reference discretization (`ice_stress_divergence.jl:65-101`).
 """
 
 from __future__ import annotations
@@ -44,7 +45,7 @@ def padded_fused_available(model):
     periodic-only check): uniform rectilinear f32, periodic/bounded sides,
     scalar stresses, FPlane/no coriolis, immersed masks allowed, ImmersedDrag
     allowed, no fold, single device."""
-    from .momentum import SplitExplicitSolver
+    from .momentum import SplitExplicitSolver, ImmersedDrag
     from .coriolis import FPlane
 
     grid = model.grid
@@ -60,11 +61,26 @@ def padded_fused_available(model):
     # Distributed shards are fused-eligible ONLY in wide-halo mode: the
     # substep loop is exchange-free there, so the kernel's local-only fills
     # match the jnp path exactly (`halo_exchange='wide'`).
-    if grid.mesh_axes is not None and dyn.solver.halo_exchange != "wide":
-        return False
+    if grid.mesh_axes is not None:
+        if dyn.solver.halo_exchange != "wide":
+            return False
+        # the kernel's static fills can't apply the traced global-edge wall
+        # BCs that fill_halos_*_local now refreshes per substep
+        from ..fields import _meshed
+        if any(_meshed(grid, d) and grid.topology[d] == BOUNDED for d in (0, 1)):
+            return False
     if grid.np_dtype != np.dtype("float32"):
         return False
-    if 34 * grid.nxp * grid.nyp * 4 > _VMEM_BUDGET:
+    if dyn.immersed_drag is not None and not isinstance(dyn.immersed_drag,
+                                                        ImmersedDrag):
+        return False  # general ImmersedStressBC callables: jnp path only
+    # Scoped-VMEM eligibility, calibrated against measured compiles: the
+    # drag variant adds 4 const arrays + per-face shift temporaries (16.8 MB
+    # at 266² → over the 16 MB scoped limit), the drag-free variant matches
+    # round-1 occupancy.
+    drag_on = dyn.immersed_drag is not None and grid.solid_cc is not None
+    mult = 46 if drag_on else 34
+    if mult * grid.nxp * grid.nyp * 4 > _VMEM_BUDGET:
         return False
 
     def ok_val(x):
@@ -145,14 +161,23 @@ def _make_fillers(grid):
     return fill_fc, fill_cf
 
 
-def _padded_kernel(nsub, fill_fc, fill_cf, params_ref,
-                   P_ref, Pff_ref, gcc_ref, gff_ref,
-                   drag_u_ref, invm_u_ref, act_u_ref, un_ref,
-                   drag_v_ref, invm_v_ref, act_v_ref, vn_ref,
-                   mcc_ref, mff_ref, immu_ref, immv_ref,
-                   tauu_ref, tauv_ref, ue_ref, ve_ref,
-                   u_ref, v_ref, s11_ref, s22_ref, s12_ref, al_ref,
-                   o_u_ref, o_v_ref, o_s11_ref, o_s22_ref, o_s12_ref, o_al_ref):
+def _padded_kernel(nsub, fill_fc, fill_cf, has_drag, params_ref, *refs):
+    # The 4 immersed-drag coefficient arrays are inputs ONLY when an
+    # ImmersedDrag is configured (`has_drag`): keeping them (and the drag
+    # term's shift temporaries) out of the drag-free kernel preserves the
+    # scoped-VMEM headroom of periodic/bounded-without-land configs.
+    (P_ref, Pff_ref, gcc_ref, gff_ref,
+     drag_u_ref, invm_u_ref, act_u_ref, un_ref,
+     drag_v_ref, invm_v_ref, act_v_ref, vn_ref,
+     mcc_ref, mff_ref) = refs[:14]
+    if has_drag:
+        immsu_ref, immnu_ref, immwv_ref, immev_ref = refs[14:18]
+        rest = refs[18:]
+    else:
+        rest = refs[14:]
+    (tauu_ref, tauv_ref, ue_ref, ve_ref,
+     u_ref, v_ref, s11_ref, s22_ref, s12_ref, al_ref,
+     o_u_ref, o_v_ref, o_s11_ref, o_s22_ref, o_s12_ref, o_al_ref) = rest
     p = params_ref
     dt = p[_P_DT]
     inv_dx = 1.0 / p[_P_DX]
@@ -179,8 +204,11 @@ def _padded_kernel(nsub, fill_fc, fill_cf, params_ref,
     vn = vn_ref[:]
     msk_cc = mcc_ref[:]     # 1 where the cc node is fluid (σ11/σ22 valid)
     msk_ff = mff_ref[:]     # 1 where the ff node is non-peripheral (σ12 valid)
-    imm_u = immu_ref[:]     # immersed-drag geometric coefficient at (f,c)
-    imm_v = immv_ref[:]
+    if has_drag:
+        imms_u = immsu_ref[:]   # immersed-drag coefficients: south/north faces
+        immn_u = immnu_ref[:]   # of the u point, west/east faces of the v point
+        immw_v = immwv_ref[:]
+        imme_v = immev_ref[:]
     tau_u_top = tauu_ref[:]  # external stresses as (broadcast) arrays
     tau_v_top = tauv_ref[:]
     ue = ue_ref[:]           # ocean velocity at (f,c)
@@ -241,8 +269,10 @@ def _padded_kernel(nsub, fill_fc, fill_cf, params_ref,
         du = ue - u
         dv = ixf_(iyc_(ve)) - v_fc
         speed = jnp.sqrt(du * du + dv * dv)
+        imm = (imms_u * u + immn_u * sm(u, 1)) * invm_u if has_drag else 0.0
         Gu = (f_cor * v_fc - tau_u_top * drag_u + rC * speed * ue * drag_u
-              + div_x * invm_u - imm_u * u * invm_u + (un - u) / dt)
+              + div_x * invm_u - imm
+              + (un - u) / dt)
         Gu = jnp.where(invm_u > 0, Gu, 0.0)
         dtau = dt / ixf_(alpha)
         u_new = (u + dtau * Gu) / (1 + dtau * rC * speed * drag_u) * act_u
@@ -256,8 +286,10 @@ def _padded_kernel(nsub, fill_fc, fill_cf, params_ref,
         dv = ve - v
         du = ixc_(iyf_(ue)) - u_cf
         speed = jnp.sqrt(du * du + dv * dv)
+        imm = (immw_v * v + imme_v * sm(v, 0)) * invm_v if has_drag else 0.0
         Gv = (-f_cor * u_cf - tau_v_top * drag_v + rC * speed * ve * drag_v
-              + div_y * invm_v - imm_v * v * invm_v + (vn - v) / dt)
+              + div_y * invm_v - imm
+              + (vn - v) / dt)
         Gv = jnp.where(invm_v > 0, Gv, 0.0)
         dtau = dt / iyf_(alpha)
         v_new = (v + dtau * Gv) / (1 + dtau * rC * speed * drag_v) * act_v
@@ -296,7 +328,7 @@ def _padded_kernel(nsub, fill_fc, fill_cf, params_ref,
 
 
 def _prepare_inputs(model, state, dt, u_start, v_start):
-    """Assemble the params vector, 20 const arrays, and 6 carry arrays shared
+    """Assemble the params vector, 22 const arrays, and 6 carry arrays shared
     by the whole-array and tiled padded kernels."""
     from ..ops import ixf, iyf, ixy_ff
 
@@ -351,20 +383,21 @@ def _prepare_inputs(model, state, dt, u_start, v_start):
     msk_ff = (jnp.ones(grid.shape, jnp.float32) if masks.per_ff is None
               else (~masks.per_ff).astype(jnp.float32))
 
-    # immersed-drag geometric coefficients (see momentum.velocity_tendencies)
-    if dyn.immersed_drag is not None and masks.per_ff is not None:
+    # immersed-drag geometric coefficients: the drag term at a u point is
+    # −(immS_u·u(i,j) + immN_u·u(i,j+1))/m — flux −C·u sampled at each face's
+    # own ff index, gated by the immersed-only peripheral mask
+    # (see momentum.velocity_tendencies; `ice_stress_divergence.jl:65-101`)
+    has_drag = dyn.immersed_drag is not None and masks.imm_ff is not None
+    if has_drag:
         from ..ops import shift_m
         C = jnp.asarray(dyn.immersed_drag.coefficient, jnp.float32)
-        per_ff = masks.per_ff
         dx_ff = jnp.broadcast_to(jnp.asarray(grid.dx_ff, jnp.float32), grid.shape)
         dy_ff = jnp.broadcast_to(jnp.asarray(grid.dy_ff, jnp.float32), grid.shape)
-        imm_u = C * (jnp.where(shift_m(per_ff, 1) & ~masks.per_fc, shift_m(dx_ff, 1), 0.0)
-                     + jnp.where(per_ff & ~masks.per_fc, dx_ff, 0.0)) / az
-        imm_v = C * (jnp.where(shift_m(per_ff, 0) & ~masks.per_cf, shift_m(dy_ff, 0), 0.0)
-                     + jnp.where(per_ff & ~masks.per_cf, dy_ff, 0.0)) / az
+        wx = jnp.where(masks.imm_ff, C * dx_ff, 0.0) / az
+        wy = jnp.where(masks.imm_ff, C * dy_ff, 0.0) / az
+        imm_consts = [wx, shift_m(wx, 1), wy, shift_m(wy, 0)]
     else:
-        imm_u = jnp.zeros(grid.shape, jnp.float32)
-        imm_v = jnp.zeros(grid.shape, jnp.float32)
+        imm_consts = []
 
     from .stresses import _value
     from ..model import make_fields
@@ -405,13 +438,13 @@ def _prepare_inputs(model, state, dt, u_start, v_start):
         jnp.zeros((), jnp.float32),
     ])
 
-    consts = [P, Pff, gcc, gff, drag_u, invm_u, act_u, u_start,
-              drag_v, invm_v, act_v, v_start,
-              msk_cc, msk_ff, imm_u, imm_v,
-              tau_u_top, tau_v_top, ue, ve]
+    consts = ([P, Pff, gcc, gff, drag_u, invm_u, act_u, u_start,
+               drag_v, invm_v, act_v, v_start,
+               msk_cc, msk_ff] + imm_consts
+              + [tau_u_top, tau_v_top, ue, ve])
     carry_in = [u_start, v_start, state.sig11, state.sig22, state.sig12,
                 state.alpha]
-    return params, consts, carry_in, P
+    return params, consts, carry_in, P, has_drag
 
 
 def padded_fused_momentum_step(model, state, dt, u_start, v_start,
@@ -421,10 +454,10 @@ def padded_fused_momentum_step(model, state, dt, u_start, v_start,
 
     grid = model.grid
     nsub = model.dynamics.solver.substeps
-    params, consts, carry_in, P = _prepare_inputs(model, state, dt,
-                                                  u_start, v_start)
+    params, consts, carry_in, P, has_drag = _prepare_inputs(model, state, dt,
+                                                            u_start, v_start)
     fill_fc, fill_cf = _make_fillers(grid)
-    kernel = functools.partial(_padded_kernel, nsub, fill_fc, fill_cf)
+    kernel = functools.partial(_padded_kernel, nsub, fill_fc, fill_cf, has_drag)
 
     out_shape = [jax.ShapeDtypeStruct(grid.shape, jnp.float32)] * 6
     n_in = 1 + len(consts) + len(carry_in)

@@ -44,11 +44,18 @@ from .pallas_evp_tiled import _P_PARITY, CHUNK_SUBSTEPS
 from .pallas_evp_padded import _prepare_inputs, padded_fused_available
 
 _VMEM_BUDGET = 14 * 2 ** 20
-_ARRAY_MULT = 75  # measured: 17.49 MB scoped for a (56, 1034) slab (26 inputs)
+_ARRAY_MULT = 75       # measured at 26 inputs ((56, 1034) slab, 17.49 MB scoped)
+_ARRAY_MULT_DRAG = 84  # + 4 immersed consts + per-face drag shift temporaries
 WY = 64           # y-overlap for 2-D tiles (lane-aligned, ≥ 2K+3)
 
 
-def _pick_tile_rows(Nx, nyp, K, periodic_x=False):
+def _drag_on(model):
+    """Static: the kernel will carry the ImmersedDrag consts + temporaries."""
+    return (model.dynamics.immersed_drag is not None
+            and model.grid.solid_cc is not None)
+
+
+def _pick_tile_rows(Nx, nyp, K, periodic_x=False, mult=_ARRAY_MULT):
     """1-D x-slab tiling (slab spans full padded y)."""
     W = 3 * K + 3 if periodic_x else 2 * K + 3
     for TX in (128, 64, 32, 16, 8):
@@ -56,12 +63,12 @@ def _pick_tile_rows(Nx, nyp, K, periodic_x=False):
             continue
         bx = TX + 2 * W
         bx += (-bx) % 8
-        if _ARRAY_MULT * (bx + 8) * nyp * 4 <= _VMEM_BUDGET:
+        if mult * (bx + 8) * nyp * 4 <= _VMEM_BUDGET:
             return TX
     return None
 
 
-def _pick_tiles_2d(Nx, Ny, K, periodic_x=False):
+def _pick_tiles_2d(Nx, Ny, K, periodic_x=False, mult=_ARRAY_MULT):
     """2-D tiling for wide grids: minimize redundant compute over aligned
     divisors under the VMEM budget."""
     Wx = 3 * K + 3 if periodic_x else 2 * K + 3
@@ -74,7 +81,7 @@ def _pick_tiles_2d(Nx, Ny, K, periodic_x=False):
                 continue
             bx = TX + 2 * Wx
             bx += (-bx) % 8
-            if _ARRAY_MULT * (bx + 8) * (TY + 2 * WY) * 4 > _VMEM_BUDGET:
+            if mult * (bx + 8) * (TY + 2 * WY) * 4 > _VMEM_BUDGET:
                 continue
             ratio = (bx / TX) * ((TY + 2 * WY) / TY)
             if best is None or ratio < best[0]:
@@ -88,7 +95,7 @@ def _pick_tiles_2d(Nx, Ny, K, periodic_x=False):
 def tiled_padded_available(model):
     """Eligibility: everything `padded_fused_available` requires except the
     whole-array VMEM bound, plus chunkable substeps and a tileable Nx."""
-    from .momentum import SplitExplicitSolver
+    from .momentum import SplitExplicitSolver, ImmersedDrag
     from .coriolis import FPlane
     from .rheologies import ElastoViscoPlasticRheology
     from .stresses import SemiImplicitStress, StressFunction
@@ -105,17 +112,25 @@ def tiled_padded_available(model):
         return False
     if any(t not in (PERIODIC, BOUNDED) for t in grid.topology):
         return False
-    if grid.mesh_axes is not None and dyn.solver.halo_exchange != "wide":
-        return False
+    if grid.mesh_axes is not None:
+        if dyn.solver.halo_exchange != "wide":
+            return False
+        from ..fields import _meshed
+        if any(_meshed(grid, d) and grid.topology[d] == BOUNDED for d in (0, 1)):
+            return False
     if grid.np_dtype != np.dtype("float32"):
         return False
-    # HBM bound: gathered const slabs (20 arrays x ~2.5x overlap redundancy)
+    if dyn.immersed_drag is not None and not isinstance(dyn.immersed_drag,
+                                                        ImmersedDrag):
+        return False  # general ImmersedStressBC callables: jnp path only
+    # HBM bound: gathered const slabs (22 arrays x ~2.5x overlap redundancy)
     # persist across chunks
     if grid.Nx * grid.Ny > 20_000_000:
         return False
     px = grid.topology[0] == PERIODIC
-    if (_pick_tile_rows(grid.Nx, grid.nyp, CHUNK_SUBSTEPS, px) is None
-            and _pick_tiles_2d(grid.Nx, grid.Ny, CHUNK_SUBSTEPS, px) is None):
+    mult = _ARRAY_MULT_DRAG if _drag_on(model) else _ARRAY_MULT
+    if (_pick_tile_rows(grid.Nx, grid.nyp, CHUNK_SUBSTEPS, px, mult) is None
+            and _pick_tiles_2d(grid.Nx, grid.Ny, CHUNK_SUBSTEPS, px, mult) is None):
         return False
 
     def ok_val(x):
@@ -202,18 +217,24 @@ def _make_slab_fillers(grid, TX, W, TY, Wy, grow):
     return fill_fc, fill_cf
 
 
-def _tiled_padded_kernel(K, TX, W, TY, Wy, make_fillers, params_ref,
-                         gx_ref, gy_ref,
-                         P_ref, Pff_ref, gcc_ref, gff_ref,
-                         drag_u_ref, invm_u_ref, act_u_ref, un_ref,
-                         drag_v_ref, invm_v_ref, act_v_ref, vn_ref,
-                         mcc_ref, mff_ref, immu_ref, immv_ref,
-                         tauu_ref, tauv_ref, ue_ref, ve_ref,
-                         u_ref, v_ref, s11_ref, s22_ref, s12_ref, al_ref,
-                         o_u_ref, o_v_ref, o_s11_ref, o_s22_ref,
-                         o_s12_ref, o_al_ref):
+def _tiled_padded_kernel(K, TX, W, TY, Wy, make_fillers, has_drag, params_ref,
+                         gx_ref, gy_ref, *refs):
     """One K-substep chunk on one halo-extended x-slab — the body mirrors
-    `pallas_evp_padded._padded_kernel` with the chunk-parity base."""
+    `pallas_evp_padded._padded_kernel` with the chunk-parity base (and the
+    same drag-const elision when ``has_drag`` is False)."""
+    (P_ref, Pff_ref, gcc_ref, gff_ref,
+     drag_u_ref, invm_u_ref, act_u_ref, un_ref,
+     drag_v_ref, invm_v_ref, act_v_ref, vn_ref,
+     mcc_ref, mff_ref) = refs[:14]
+    if has_drag:
+        immsu_ref, immnu_ref, immwv_ref, immev_ref = refs[14:18]
+        rest = refs[18:]
+    else:
+        rest = refs[14:]
+    (tauu_ref, tauv_ref, ue_ref, ve_ref,
+     u_ref, v_ref, s11_ref, s22_ref, s12_ref, al_ref,
+     o_u_ref, o_v_ref, o_s11_ref, o_s22_ref,
+     o_s12_ref, o_al_ref) = rest
     p = params_ref
     dt = p[_P_DT]
     inv_dx = 1.0 / p[_P_DX]
@@ -241,8 +262,11 @@ def _tiled_padded_kernel(K, TX, W, TY, Wy, make_fillers, params_ref,
     vn = vn_ref[:]
     msk_cc = mcc_ref[:]
     msk_ff = mff_ref[:]
-    imm_u = immu_ref[:]
-    imm_v = immv_ref[:]
+    if has_drag:
+        imms_u = immsu_ref[:]
+        immn_u = immnu_ref[:]
+        immw_v = immwv_ref[:]
+        imme_v = immev_ref[:]
     tau_u_top = tauu_ref[:]
     tau_v_top = tauv_ref[:]
     ue = ue_ref[:]
@@ -304,8 +328,10 @@ def _tiled_padded_kernel(K, TX, W, TY, Wy, make_fillers, params_ref,
         du = ue - u
         dv = ixf_(iyc_(ve)) - v_fc
         speed = jnp.sqrt(du * du + dv * dv)
+        imm = (imms_u * u + immn_u * sm(u, 1)) * invm_u if has_drag else 0.0
         Gu = (f_cor * v_fc - tau_u_top * drag_u + rC * speed * ue * drag_u
-              + div_x * invm_u - imm_u * u * invm_u + (un - u) / dt)
+              + div_x * invm_u - imm
+              + (un - u) / dt)
         Gu = jnp.where(invm_u > 0, Gu, 0.0)
         dtau = dt / ixf_(alpha)
         u_new = (u + dtau * Gu) / (1 + dtau * rC * speed * drag_u) * act_u
@@ -319,8 +345,10 @@ def _tiled_padded_kernel(K, TX, W, TY, Wy, make_fillers, params_ref,
         dv = ve - v
         du = ixc_(iyf_(ue)) - u_cf
         speed = jnp.sqrt(du * du + dv * dv)
+        imm = (immw_v * v + imme_v * sm(v, 0)) * invm_v if has_drag else 0.0
         Gv = (-f_cor * u_cf - tau_v_top * drag_v + rC * speed * ve * drag_v
-              + div_y * invm_v - imm_v * v * invm_v + (vn - v) / dt)
+              + div_y * invm_v - imm
+              + (vn - v) / dt)
         Gv = jnp.where(invm_v > 0, Gv, 0.0)
         dtau = dt / iyf_(alpha)
         v_new = (v + dtau * Gv) / (1 + dtau * rC * speed * drag_v) * act_v
@@ -392,12 +420,13 @@ def tiled_padded_momentum_step(model, state, dt, u_start, v_start,
     periodic_x = grid.topology[0] == PERIODIC
     periodic_y = grid.topology[1] == PERIODIC
     K = CHUNK_SUBSTEPS
-    TX = _pick_tile_rows(Nx, nyp, K, periodic_x)
+    mult = _ARRAY_MULT_DRAG if _drag_on(model) else _ARRAY_MULT
+    TX = _pick_tile_rows(Nx, nyp, K, periodic_x, mult)
     if TX is not None:
         TY, Wy = nyp, 0
         nty = 1
     else:
-        TX, TY = _pick_tiles_2d(Nx, Ny, K, periodic_x)
+        TX, TY = _pick_tiles_2d(Nx, Ny, K, periodic_x, mult)
         Wy = WY
         nty = Ny // TY
     n_tiles = Nx // TX
@@ -406,8 +435,8 @@ def tiled_padded_momentum_step(model, state, dt, u_start, v_start,
         W += 1
     n_chunks = nsub // K
 
-    params, consts, carry_in, P = _prepare_inputs(model, state, dt,
-                                                  u_start, v_start)
+    params, consts, carry_in, P, has_drag = _prepare_inputs(model, state, dt,
+                                                            u_start, v_start)
 
     idx = _slab_index(Nx, n_tiles, TX, W, periodic_x)
     idx_pad = _slab_index(Nx, n_tiles, TX, W, periodic_x, Hx=Hx, nxp=grid.nxp)
@@ -443,7 +472,7 @@ def tiled_padded_momentum_step(model, state, dt, u_start, v_start,
 
     make_fillers = functools.partial(_make_slab_fillers, grid, TX, W, TY, Wy)
     kernel = functools.partial(_tiled_padded_kernel, K, TX, W, TY, Wy,
-                               make_fillers)
+                               make_fillers, has_drag)
     bx, by = TX + 2 * W, TY + 2 * Wy
     oy = TY if Wy else nyp
     blk_in = pl.BlockSpec((bx, by), lambda i, j: (i, j),
@@ -460,7 +489,7 @@ def tiled_padded_momentum_step(model, state, dt, u_start, v_start,
             grid=(n_tiles, nty),
             out_shape=[jax.ShapeDtypeStruct((out_rows, out_cols), jnp.float32)] * 6,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [blk_in] * 28,
+            + [blk_in] * (2 + len(const_slabs) + len(carry_slabs)),
             out_specs=[blk_out] * 6,
             interpret=interpret,
         )(params_c, gx, gy, *const_slabs, *carry_slabs)

@@ -60,11 +60,23 @@ def strain_rate_xy(grid, u, v):
 # --- rheology configurations -------------------------------------------------
 
 @pytree_dataclass
+class ViscosityFunction:
+    """Static wrapper for a function-valued viscosity ``ν(x, y, t)`` — the
+    νᶜᶜᶜ(::Function) path of `viscous_rheology.jl:5-23`.  ``func`` is part of
+    the jit cache key (like FluxFunction/StressFunction)."""
+    func: object = static_field()
+
+
+@pytree_dataclass
 class ViscousRheology:
     """Newtonian stress σ = ν δu (`viscous_rheology.jl:5-23`).  ``nu`` may be
-    a scalar or a centered field; face-located viscosity uses the 4-point
-    average."""
+    a scalar, a centered field (face values use the 4-point average), or a
+    function ``ν(x, y, t)`` evaluated at the stress location."""
     nu: object = 1000.0
+
+    def __post_init__(self):
+        if callable(self.nu) and not isinstance(self.nu, ViscosityFunction):
+            object.__setattr__(self, "nu", ViscosityFunction(func=self.nu))
 
 
 @pytree_dataclass
@@ -169,23 +181,31 @@ def compute_evp_stresses(rheology: ElastoViscoPlasticRheology, grid,
 # --- rheology stress lookup --------------------------------------------------
 # (`elasto_visco_plastic_rheology.jl:378-381`, `viscous_rheology.jl:15-23`)
 
-def _viscosity_cc(nu):
+def _viscosity_cc(nu, grid, clock):
+    if isinstance(nu, ViscosityFunction):
+        # function ν(x, y, t) evaluated at cell centers — the νᶜᶜᶜ(::Function)
+        # path of `viscous_rheology.jl:5-23` (Oceananigans TurbulenceClosures)
+        t = clock.time if clock is not None else 0.0
+        return nu.func(grid.xc[:, None], grid.yc[None, :], t)
     return nu
 
 
-def _viscosity_ff(nu):
+def _viscosity_ff(nu, grid, clock):
+    if isinstance(nu, ViscosityFunction):
+        t = clock.time if clock is not None else 0.0
+        return nu.func(grid.xf[:, None], grid.yf[None, :], t)
     if hasattr(nu, "ndim") and getattr(nu, "ndim", 0) == 2:
         return ixy_ff(nu)
     return nu
 
 
-def rheology_stresses(rheology, grid, fields):
+def rheology_stresses(rheology, grid, fields, clock=None):
     """(σ_ux@cc, σ_uy@ff, σ_vx@ff, σ_vy@cc) for the stress divergence."""
     if isinstance(rheology, ElastoViscoPlasticRheology):
         return fields.sig11, fields.sig12, fields.sig12, fields.sig22
     if isinstance(rheology, ViscousRheology):
-        nu_cc = _viscosity_cc(rheology.nu)
-        nu_ff = _viscosity_ff(rheology.nu)
+        nu_cc = _viscosity_cc(rheology.nu, grid, clock)
+        nu_ff = _viscosity_ff(rheology.nu, grid, clock)
         s_ux = nu_cc * dxc(fields.u)
         s_uy = nu_ff * dyf(fields.u)
         s_vx = nu_ff * dxf(fields.v)
@@ -199,14 +219,14 @@ def rheology_stresses(rheology, grid, fields):
 
 # --- SBP stress divergence (`ice_stress_divergence.jl:36-51`) -----------------
 
-def stress_divergence(rheology, grid, fields, masks=None):
+def stress_divergence(rheology, grid, fields, masks=None, clock=None):
     """(∂ⱼσ₁ⱼ @ (f,c), ∂ⱼσ₂ⱼ @ (c,f)) in the energy-conserving invariant form.
 
     ``masks``: optional (solid_cc, per_ff) immersed-conditional masks zeroing
     stresses at solid locations (conditional_flux_ccc/ffc analog,
     `ice_stress_divergence.jl:21-24`).
     """
-    s_ux, s_uy, s_vx, s_vy = rheology_stresses(rheology, grid, fields)
+    s_ux, s_uy, s_vx, s_vy = rheology_stresses(rheology, grid, fields, clock=clock)
 
     if masks is not None:
         solid_cc, per_ff = masks

@@ -359,6 +359,26 @@ def solid_cc_mask(grid: Grid):
     return jnp.asarray(_solid_base(grid))
 
 
+def immersed_only_ff(grid: Grid):
+    """(f,f) nodes peripheral due to an *immersed* cell but not due to a
+    domain wall — the `immersed_peripheral_node` analog (peripheral on the
+    immersed grid && !peripheral on the underlying grid) that gates immersed
+    stress-divergence fluxes (`ice_stress_divergence.jl:78-81` via
+    conditional_flux_ffc).  None on non-immersed grids."""
+    if grid.solid_cc is None:
+        return None
+
+    def per_ff(s):
+        sx = np.roll(s, 1, 0)
+        sy = np.roll(s, 1, 1)
+        sxy = np.roll(sx, 1, 1)
+        return s | sx | sy | sxy
+
+    full = _solid_base(grid)
+    wall = _solid_base(grid.evolve(solid_cc=None))
+    return jnp.asarray(per_ff(full) & ~per_ff(wall))
+
+
 def mask_immersed_cc(q, grid: Grid):
     """Zero a centered field over solid cells (mask_immersed_field_xy!)."""
     if grid.solid_cc is None:

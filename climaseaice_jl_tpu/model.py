@@ -36,6 +36,9 @@ class Masks:
     per_fc: object = None
     per_cf: object = None
     per_ff: object = None
+    # immersed-only peripheral ff nodes (immersed_peripheral_node analog):
+    # gates immersed stress-divergence fluxes; None on non-immersed grids
+    imm_ff: object = None
 
 
 @pytree_dataclass
@@ -99,9 +102,10 @@ def sea_ice_model(grid: Grid,
         else:
             top_heat_flux = 0.0
 
+    from .fields import immersed_only_ff
     per_fc, per_cf, per_ff = peripheral_masks(grid)
     masks = Masks(solid_cc=solid_cc_mask(grid), per_fc=per_fc,
-                  per_cf=per_cf, per_ff=per_ff)
+                  per_cf=per_cf, per_ff=per_ff, imm_ff=immersed_only_ff(grid))
 
     if forcing is not None and not isinstance(forcing, tuple):
         unknown = set(forcing) - {"u", "v", "h", "a", "hs", "S"}

@@ -120,6 +120,24 @@ def _local_grid(grid, nx, ny, ix, iy, axes, mesh_shape):
     )
 
 
+def _local_wall(lgrid, ix, iy):
+    """Wall-band mask: True in halo bands beyond bounded *global* domain
+    edges (the underlying-grid peripheral cells)."""
+    Hx, Hy = lgrid.Hx, lgrid.Hy
+    nx, ny = lgrid.Nx, lgrid.Ny
+    col = jnp.arange(lgrid.nxp)[:, None]
+    row = jnp.arange(lgrid.nyp)[None, :]
+    Px, Py = lgrid.mesh_shape
+    wall = jnp.zeros(lgrid.shape, bool)
+    if lgrid.topology[0] == BOUNDED and Hx > 0:
+        wall = wall | ((ix == 0) & (col < Hx)) | ((ix == Px - 1) & (col >= Hx + nx))
+    if lgrid.topology[1] == BOUNDED and Hy > 0:
+        wall = wall | ((iy == 0) & (row < Hy))
+        if not lgrid.north_fold:  # folded north edge is connected, not a wall
+            wall = wall | ((iy == Py - 1) & (row >= Hy + ny))
+    return wall
+
+
 def _local_solid(lgrid, solid_int, ix, iy):
     """Padded local solid mask: exchanged across shards, True outside bounded
     global walls (traced analog of fields._solid_base + _extend_mask)."""
@@ -130,33 +148,30 @@ def _local_solid(lgrid, solid_int, ix, iy):
     if solid_int is not None:
         s = jnp.zeros(lgrid.shape, dt_)
         s = s.at[Hx:Hx + nx, Hy:Hy + ny].set(solid_int.astype(dt_))
-        s = fill_halos_cc(s, lgrid)  # exchange + zero-gradient at walls
+        s = fill_halos_cc(s, lgrid)  # exchange + fold + zero-gradient at walls
         solid = s > 0.5
     else:
         solid = jnp.zeros(lgrid.shape, bool)
+    return solid | _local_wall(lgrid, ix, iy)
 
-    col = jnp.arange(lgrid.nxp)[:, None]
-    row = jnp.arange(lgrid.nyp)[None, :]
-    Px, Py = lgrid.mesh_shape
-    if lgrid.topology[0] == BOUNDED and Hx > 0:
-        solid = solid | ((ix == 0) & (col < Hx)) | ((ix == Px - 1) & (col >= Hx + nx))
-    if lgrid.topology[1] == BOUNDED and Hy > 0:
-        solid = solid | ((iy == 0) & (row < Hy))
-        if not lgrid.north_fold:  # folded north edge is connected, not a wall
-            solid = solid | ((iy == Py - 1) & (row >= Hy + ny))
-    return solid
+
+def _per_masks(s):
+    sx = jnp.roll(s, 1, 0)
+    sy = jnp.roll(s, 1, 1)
+    sxy = jnp.roll(sx, 1, 1)
+    return s | sx, s | sy, s | sx | sy | sxy
 
 
 def _local_masks(lgrid, solid_int, ix, iy, immersed):
     s = _local_solid(lgrid, solid_int, ix, iy)
-    sx = jnp.roll(s, 1, 0)
-    sy = jnp.roll(s, 1, 1)
-    sxy = jnp.roll(sx, 1, 1)
-    per_fc = s | sx
-    per_cf = s | sy
-    per_ff = s | sx | sy | sxy
+    per_fc, per_cf, per_ff = _per_masks(s)
+    if immersed:
+        _, _, wall_ff = _per_masks(_local_wall(lgrid, ix, iy))
+        imm_ff = per_ff & ~wall_ff
+    else:
+        imm_ff = None
     return Masks(solid_cc=s if immersed else None,
-                 per_fc=per_fc, per_cf=per_cf, per_ff=per_ff)
+                 per_fc=per_fc, per_cf=per_cf, per_ff=per_ff, imm_ff=imm_ff)
 
 
 # Face-y located state components.  On a north-folded grid the seam face row
