@@ -1,0 +1,143 @@
+"""Multi-process execution surface — the mpiexec analog.
+
+Port of `test/test_distributed_sea_ice.jl:40-64` (tests spawn real MPI
+subprocesses) and `test/distributed_tests_utils.jl:91-105` (per-rank output
+reassembly): two REAL OS processes, each owning 4 virtual CPU devices of one
+8-device (2,4) mesh, join via `jax.distributed.initialize` and run the same
+`make_distributed_step` used in-process.  The parent reassembles the ranks'
+output files and compares against a serial run.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import climaseaice_jl_tpu as csi
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Shared model configuration (contractive regime — see test_distributed.py)
+CONFIG = '''
+import numpy as np
+import climaseaice_jl_tpu as csi
+
+KM = 1000.0
+STEPS = 5
+DT = 120.0
+
+def build():
+    grid = csi.RectilinearGrid(size=(32, 32), x=(-10 * KM, 10 * KM),
+                               y=(-10 * KM, 10 * KM), halo=5,
+                               topology=("periodic", "periodic"))
+    dynamics = csi.SeaIceMomentumEquation(
+        rheology=csi.ElastoViscoPlasticRheology(max_relaxation_parameter=1e4),
+        coriolis=csi.FPlane(f=1e-4),
+        top_momentum_stress={"u": 0.01, "v": 0.01},
+        bottom_momentum_stress=csi.SemiImplicitStress(),
+        solver=csi.SplitExplicitSolver(substeps=10))
+    model = csi.sea_ice_model(grid, dynamics=dynamics, ice_thermodynamics=None,
+                              advection=csi.WENO(order=7),
+                              timestepper="ForwardEuler")
+    def h0(x, y):
+        return 0.3 + 0.005 * (np.sin(60 * x / (20 * KM)) + np.sin(30 * y / (20 * KM)))
+    state = csi.initial_state(model, h=h0, a=1.0, u=0.1)
+    return model, state
+'''
+
+WORKER = CONFIG + '''
+import sys
+import jax
+
+pid, nproc, port, prefix = (int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
+                            sys.argv[4])
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nproc, process_id=pid)
+jax.config.update("jax_enable_x64", True)
+assert len(jax.devices()) == 8, len(jax.devices())
+assert len(jax.local_devices()) == 4
+
+from climaseaice_jl_tpu.parallel import (make_distributed_step, shard_state,
+                                         gather_state, save_rank_snapshot,
+                                         save_sharded_checkpoint,
+                                         load_sharded_checkpoint)
+from climaseaice_jl_tpu.parallel.stepper import strip_halos
+
+model, state = build()
+dstep, mesh = make_distributed_step(model, (2, 4))
+s = shard_state(strip_halos(model, state), mesh)
+
+ckpt_prefix = prefix + "_ckpt"
+for it in range(1, STEPS + 1):
+    s = dstep(s, DT)
+    if it == 3:
+        save_sharded_checkpoint(ckpt_prefix, s, clock=it * DT)
+save_rank_snapshot(prefix, s, STEPS, time=STEPS * DT, outputs=("u", "v", "h", "a"))
+
+# gathered output: every process reconstructs the global fields; rank 0 writes
+g = gather_state(s)
+if jax.process_index() == 0:
+    np.savez(prefix + "_gathered.npz", u=g.u, v=g.v, h=g.h, a=g.a)
+
+# restore the sharded checkpoint and continue: must reproduce bit-identically
+s3, clock = load_sharded_checkpoint(ckpt_prefix, strip_halos(model, state), mesh)
+assert float(clock) == 3 * DT
+for it in range(4, STEPS + 1):
+    s3 = dstep(s3, DT)
+for name in ("u", "v", "h"):
+    a = np.asarray(getattr(s, name).addressable_shards[0].data)
+    b = np.asarray(getattr(s3, name).addressable_shards[0].data)
+    assert np.array_equal(a, b), f"checkpoint restore diverged: {name}"
+print(f"[rank {pid}] OK", flush=True)
+'''
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_mesh_matches_serial(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER)
+    prefix = str(tmp_path / "out")
+    port = _free_port()
+
+    env = dict(os.environ)
+    env.update(PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               PYTHONPATH=REPO)
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(p), "2", str(port), prefix],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for p in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+        assert "OK" in out
+
+    # serial reference in-process (same f64 CPU config via conftest)
+    ns = {}
+    exec(compile(CONFIG, "<config>", "exec"), ns)
+    model, state = ns["build"]()
+    for _ in range(ns["STEPS"]):
+        state = csi.step(model, state, ns["DT"])
+
+    from climaseaice_jl_tpu.parallel import reassemble_rank_snapshots
+    got = reassemble_rank_snapshots(prefix, ns["STEPS"], (32, 32))
+    assert float(got["time"]) == ns["STEPS"] * ns["DT"]
+    I = model.grid.interior
+    with np.load(prefix + "_gathered.npz") as gathered:
+        for name in ("u", "v", "h", "a"):
+            ref = np.asarray(I(getattr(state, name)))
+            assert np.isfinite(got[name]).all(), name
+            np.testing.assert_allclose(got[name], ref, rtol=1e-12, atol=1e-14,
+                                       err_msg=name)
+            # gathered (process_allgather) output equals the per-rank
+            # reassembly bit-for-bit
+            np.testing.assert_array_equal(gathered[name], got[name],
+                                          err_msg=f"gathered {name}")
