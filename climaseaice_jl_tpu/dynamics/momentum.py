@@ -33,7 +33,8 @@ from .stresses import (explicit_tau_x, explicit_tau_y,
 from .free_drift import free_drift_u, free_drift_v
 from .rheologies import (ElastoViscoPlasticRheology, ice_strength,
                          compute_evp_viscosities, compute_evp_stresses,
-                         stress_divergence, rheology_forcing_u, rheology_forcing_v)
+                         stress_divergence, strain_rates,
+                         rheology_forcing_u, rheology_forcing_v)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -130,10 +131,13 @@ def _user_forcing(model, comp, grid, clock, fields):
     return f(grid, clock, fields)
 
 
-def velocity_tendencies(model, dyn, grid, dt, fields, clock):
+def velocity_tendencies(model, dyn, grid, dt, fields, clock, div=None):
     """(Gu, Gv) (`momentum_tendencies_kernel_functions.jl:11-74`).
 
-    ``dt`` may be a scalar or a per-point array (the EVP substep Δτ)."""
+    ``dt`` may be a scalar or a per-point array (the EVP substep Δτ).
+    ``div``: optional precomputed ``(div_x, div_y)`` — for EVP the stress
+    divergence depends only on the σ fields, which are constant across the
+    u- and v-half-updates of one substep, so the substep loop hoists it."""
     masks = model.masks
     m_cc = fields.h * fields.a * fields.rho
     a_fc = ixf(fields.a)
@@ -141,9 +145,9 @@ def velocity_tendencies(model, dyn, grid, dt, fields, clock):
     a_cf = iyf(fields.a)
     m_cf = iyf(m_cc)
 
-    div_x, div_y = stress_divergence(dyn.rheology, grid, fields,
-                                     masks=(masks.solid_cc, masks.per_ff),
-                                     clock=clock)
+    div_x, div_y = div if div is not None else stress_divergence(
+        dyn.rheology, grid, fields,
+        masks=(masks.solid_cc, masks.per_ff), clock=clock)
 
     inv_m_fc = _inv(m_fc, m_fc > 0)
     inv_m_cf = _inv(m_cf, m_cf > 0)
@@ -290,11 +294,11 @@ def split_explicit_momentum_step(model, state, dt, u_start, v_start,
                            sig11=s11, sig22=s22, sig12=s12,
                            un=un, vn=vn, P=P, alpha=alpha, tracers=state.tracers)
 
-    def u_step(u, v, s11, s22, s12, alpha):
+    def u_step(u, v, s11, s22, s12, alpha, div=None):
         f = fields_of(u, v, s11, s22, s12, alpha)
         # compute_substep_Δt: Δt/ᾱ for αEVP, Δt/substeps otherwise
         dtau = dt / ixf(alpha) if is_evp else dt / substeps
-        Gu, _ = velocity_tendencies(model, dyn, grid, dtau, f, clock)
+        Gu, _ = velocity_tendencies(model, dyn, grid, dtau, f, clock, div=div)
         tau_ui = (implicit_tau_x_coefficient(grid, bottom, clock, f)
                   - implicit_tau_x_coefficient(grid, top, clock, f)) * _inv(m_fc, m_fc > 0) * a_fc
         tau_ui = jnp.where(m_fc <= 0, 0.0, tau_ui)
@@ -304,10 +308,10 @@ def split_explicit_momentum_step(model, state, dt, u_start, v_start,
                                  dyn.minimum_mass, dyn.minimum_concentration, active_u)
         return halo_u(u_new)
 
-    def v_step(u, v, s11, s22, s12, alpha):
+    def v_step(u, v, s11, s22, s12, alpha, div=None):
         f = fields_of(u, v, s11, s22, s12, alpha)
         dtau = dt / iyf(alpha) if is_evp else dt / substeps
-        _, Gv = velocity_tendencies(model, dyn, grid, dtau, f, clock)
+        _, Gv = velocity_tendencies(model, dyn, grid, dtau, f, clock, div=div)
         tau_vi = (implicit_tau_y_coefficient(grid, bottom, clock, f)
                   - implicit_tau_y_coefficient(grid, top, clock, f)) * _inv(m_cf, m_cf > 0) * a_cf
         tau_vi = jnp.where(m_cf <= 0, 0.0, tau_vi)
@@ -321,23 +325,31 @@ def split_explicit_momentum_step(model, state, dt, u_start, v_start,
         u, v, s11, s22, s12, alpha, Delta, zcc, zff = carry
         # compute_stresses!: viscosities then αEVP stress relaxation
         # (no-op for non-EVP rheologies, `Rheologies.jl:44-47`)
+        div = None
         if is_evp:
-            Delta, zcc, zff = compute_evp_viscosities(rheo, grid, u, v, P)
+            strains = strain_rates(grid, u, v)
+            Delta, zcc, zff = compute_evp_viscosities(rheo, grid, u, v, P,
+                                                      strains=strains)
             s11, s22, s12, alpha = compute_evp_stresses(
-                rheo, grid, u, v, h, a, rho, dt, s11, s22, s12, Delta, zcc, zff, P)
+                rheo, grid, u, v, h, a, rho, dt, s11, s22, s12, Delta, zcc, zff,
+                P, strains=strains)
+            # σ is fixed across the two half-updates below: hoist ∂ⱼσᵢⱼ
+            div = stress_divergence(
+                rheo, grid, fields_of(u, v, s11, s22, s12, alpha),
+                masks=(masks.solid_cc, masks.per_ff), clock=clock)
 
         substep = i + 1  # reference counts substeps from 1
 
         def even_order(args):
             u, v = args
-            u2 = u_step(u, v, s11, s22, s12, alpha)
-            v2 = v_step(u2, v, s11, s22, s12, alpha)
+            u2 = u_step(u, v, s11, s22, s12, alpha, div)
+            v2 = v_step(u2, v, s11, s22, s12, alpha, div)
             return u2, v2
 
         def odd_order(args):
             u, v = args
-            v2 = v_step(u, v, s11, s22, s12, alpha)
-            u2 = u_step(u, v2, s11, s22, s12, alpha)
+            v2 = v_step(u, v, s11, s22, s12, alpha, div)
+            u2 = u_step(u, v2, s11, s22, s12, alpha, div)
             return u2, v2
 
         u, v = lax.cond(substep % 2 == 0, even_order, odd_order, (u, v))

@@ -45,6 +45,16 @@ def eps_S_ff(grid, u, v):
             + grid.dy_ff ** 2 * dxf(v / grid.dy_cf)) / grid.az_ff
 
 
+def strain_rates(grid, u, v):
+    """(ϵ̇₁₁@cc, ϵ̇₂₂@cc, ϵ̇₁₂@ff) with ϵ̇D/ϵ̇T evaluated once each — the shared
+    intermediate of `compute_evp_viscosities`/`compute_evp_stresses` (each
+    substep needs all three; computing through `strain_rate_*` would evaluate
+    ϵ̇D and ϵ̇T twice)."""
+    eD = eps_D_cc(grid, u, v)
+    eT = eps_T_cc(grid, u, v)
+    return 0.5 * (eD + eT), 0.5 * (eD - eT), 0.5 * eps_S_ff(grid, u, v)
+
+
 def strain_rate_xx(grid, u, v):
     return 0.5 * (eps_D_cc(grid, u, v) + eps_T_cc(grid, u, v))
 
@@ -107,14 +117,17 @@ def ice_pressure(rheology: ElastoViscoPlasticRheology, P, Delta):
     return P * Delta / (Delta + Dm)
 
 
-def compute_evp_viscosities(rheology: ElastoViscoPlasticRheology, grid, u, v, P):
-    """Strain invariants → (Δ_cc, ζ_cc, ζ_ff) (`elasto_visco_plastic_rheology.jl:236-273`)."""
+def compute_evp_viscosities(rheology: ElastoViscoPlasticRheology, grid, u, v, P,
+                            strains=None):
+    """Strain invariants → (Δ_cc, ζ_cc, ζ_ff) (`elasto_visco_plastic_rheology.jl:236-273`).
+
+    ``strains``: optional precomputed :func:`strain_rates` tuple shared with
+    `compute_evp_stresses` in the substep loop."""
     e_inv2 = rheology.yield_curve_eccentricity ** -2.0
     Dm = rheology.minimum_plastic_stress
 
-    e11_cc = strain_rate_xx(grid, u, v)
-    e22_cc = strain_rate_yy(grid, u, v)
-    e12_ff = strain_rate_xy(grid, u, v)
+    e11_cc, e22_cc, e12_ff = (strain_rates(grid, u, v)
+                              if strains is None else strains)
     e11_ff = ixy_ff(e11_cc)
     e22_ff = ixy_ff(e22_cc)
     e12_cc = ixy_cc(e12_ff)
@@ -135,7 +148,8 @@ def compute_evp_viscosities(rheology: ElastoViscoPlasticRheology, grid, u, v, P)
 
 def compute_evp_stresses(rheology: ElastoViscoPlasticRheology, grid,
                          u, v, h, a, rho, dt,
-                         sig11, sig22, sig12, Delta_cc, zeta_cc, zeta_ff, P):
+                         sig11, sig22, sig12, Delta_cc, zeta_cc, zeta_ff, P,
+                         strains=None):
     """One αEVP stress relaxation substep
     (`elasto_visco_plastic_rheology.jl:294-354`).
 
@@ -145,9 +159,7 @@ def compute_evp_stresses(rheology: ElastoViscoPlasticRheology, grid,
     a_minus = rheology.min_relaxation_parameter
     c_alpha = rheology.relaxation_strength
 
-    e11 = strain_rate_xx(grid, u, v)
-    e22 = strain_rate_yy(grid, u, v)
-    e12 = strain_rate_xy(grid, u, v)
+    e11, e22, e12 = strain_rates(grid, u, v) if strains is None else strains
 
     Pr = ice_pressure(rheology, P, Delta_cc)
 
