@@ -45,6 +45,26 @@ def build(N, substeps, dtype="float32"):
     return model, state
 
 
+# --- Roofline accounting -----------------------------------------------------
+# Arithmetic per grid point per EVP substep, counted from the fused kernel
+# body (pallas_evp.py): strain invariants (~30), cc/ff interpolations (~20),
+# Δ + ζ (~13), αEVP stress relaxation incl. γ sqrt/clamp (~45), two
+# semi-implicit velocity half-updates incl. stress divergence, Coriolis,
+# quadratic drag (~100).  Rolls/selects are data movement, not counted.
+FLOPS_PER_PT_SUBSTEP = 210
+# Non-EVP work per point per outer RK3 step: 3 RK substeps × (WENO-7 tracer
+# advection ~3×250 + thermo column ~150 + clipping/ridging ~30).
+FLOPS_PER_PT_STEP_OTHER = 2800
+# Minimum HBM traffic per point per outer step for the fused tiers: the EVP
+# state round-trips once per K-substep chunk (11 loads + 6 stores, ≥1
+# chunk), plus ~30 array passes for advection/thermo/housekeeping.
+BYTES_PER_PT_STEP_MIN = 4 * (17 * 3 + 30)
+# TPU v5e public peaks: 819 GB/s HBM; VPU f32 ≈ 8×128 lanes × 4 ALUs ×
+# ~1.7 GHz ≈ 7e12 op/s (FMA counted as 1 — conservative).
+HBM_PEAK = 819e9
+VPU_PEAK_EST = 7.0e12
+
+
 def main():
     import jax
     from climaseaice_jl_tpu.model import _step
@@ -81,11 +101,26 @@ def main():
         except Exception:
             pass
 
+    flops_per_pt = FLOPS_PER_PT_SUBSTEP * substeps * 3 + FLOPS_PER_PT_STEP_OTHER
+    achieved_flops = flops_per_pt * pts_per_s
+    achieved_bytes = BYTES_PER_PT_STEP_MIN * pts_per_s
+
     print(json.dumps({
         "metric": f"grid-points/s/chip (EVP{substeps}+WENO7+thermo step, {N}x{N} f32, RK3, fused-VMEM EVP)",
         "value": round(pts_per_s, 1),
         "unit": "points/s",
         "vs_baseline": round(vs, 3),
+        "roofline": {
+            "flops_per_pt": flops_per_pt,
+            "bytes_per_pt_min": BYTES_PER_PT_STEP_MIN,
+            "achieved_gflops": round(achieved_flops / 1e9, 1),
+            "vpu_frac_est": round(achieved_flops / VPU_PEAK_EST, 3),
+            "achieved_hbm_gbps_min": round(achieved_bytes / 1e9, 1),
+            "hbm_frac_min": round(achieved_bytes / HBM_PEAK, 4),
+            "note": "flops counted from the fused kernel body (see bench.py); "
+                    "bytes = fused-tier minimum HBM traffic; peaks: v5e 819 GB/s "
+                    "HBM, VPU ~7e12 f32 op/s (FMA=1)",
+        },
     }))
     return 0
 

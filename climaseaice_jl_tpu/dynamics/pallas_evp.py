@@ -26,6 +26,7 @@ Uniform-metric simplifications used (algebraically exact on uniform grids):
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -44,11 +45,33 @@ _P_DT, _P_DX, _P_DY, _P_F, _P_TAUU, _P_TAUV, _P_RC, _P_UE, _P_VE, \
     _P_EINV2, _P_AMIN, _P_AMAX, _P_CALPHA, _P_DMIN, _P_MASSMIN, _P_CONCMIN, \
     _P_REPL, _P_NPARAMS = range(18)
 
+# The target chip (TPU v5e) has 128 MB of VMEM per core, but Mosaic's
+# *default* scoped-VMEM limit is ~16 MB — kernels must request a raised
+# limit explicitly via CompilerParams(vmem_limit_bytes=...).  All fused
+# tiers request VMEM_LIMIT_MB (env CSI_VMEM_LIMIT_MB) and the tile pickers
+# budget against it, leaving headroom for Mosaic's own scratch.
+VMEM_LIMIT_MB = int(os.environ.get("CSI_VMEM_LIMIT_MB", "126"))
+
+
+def vmem_compiler_params(interpret=False):
+    """kwargs for ``pl.pallas_call`` raising the Mosaic scoped-VMEM limit.
+
+    Empty in interpret mode (TPU compiler params have no CPU lowering)."""
+    if interpret:
+        return {}
+    return dict(compiler_params=pltpu.CompilerParams(
+        vmem_limit_bytes=VMEM_LIMIT_MB * 2 ** 20))
+
+
 # VMEM budgets (f32): the rich whole-loop kernel keeps 12 precomputed
-# constants + 6 carry resident and fits ≤256²; larger grids use the tiled
-# substep-chunked kernel (pallas_evp_tiled.py); 2-D tiled above ny=1024.
-_MAX_POINTS_RICH = 65_536
-_MAX_POINTS_TILED = 16_777_216
+# constants + 6 carry resident; the measured whole-array live multiplier is
+# ~54 block-sized f32 arrays (768² compiled at 121.5 MB scoped → 55.2/pt
+# with double-buffered outputs), so budget points against 54×4 B.  Larger
+# grids use the tiled substep-chunked kernel (pallas_evp_tiled.py);
+# 2-D tiled above _Y_SLAB_MAX.
+_RICH_MULT = 56  # conservative vs the 55.2 measured
+_MAX_POINTS_RICH = (VMEM_LIMIT_MB - 4) * 2 ** 20 // (_RICH_MULT * 4)
+_MAX_POINTS_TILED = 67_108_864  # 8192²; HBM (16 GB) is the binding cap above
 
 
 def _tiled_eligible(grid, nsub):
@@ -550,6 +573,7 @@ def fused_split_explicit_momentum_step(model, state, dt, u_start, v_start,
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
             input_output_aliases={n_in - 6 + k: k for k in range(6)},
             interpret=interpret,
+            **vmem_compiler_params(interpret),
         )(params, *consts, *carry_in)
     else:
         from .pallas_evp_tiled import tiled_chunked_evp

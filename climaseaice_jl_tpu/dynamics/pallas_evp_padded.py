@@ -33,11 +33,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ..grids import PERIODIC, BOUNDED
 from .pallas_evp import (_P_DT, _P_DX, _P_DY, _P_F, _P_TAUU, _P_TAUV, _P_RC,
                          _P_UE, _P_VE, _P_EINV2, _P_AMIN, _P_AMAX, _P_CALPHA,
-                         _P_DMIN, _P_MASSMIN, _P_CONCMIN, _P_REPL)
+                         _P_DMIN, _P_MASSMIN, _P_CONCMIN, _P_REPL,
+                         VMEM_LIMIT_MB, vmem_compiler_params)
 from .rheologies import ElastoViscoPlasticRheology, ice_strength
 from .stresses import SemiImplicitStress, StressFunction
 
-_VMEM_BUDGET = 12 * 2 ** 20
+# Whole-array budget against the raised Mosaic scoped-VMEM limit
+# (pallas_evp.VMEM_LIMIT_MB; the v5e has 128 MB of VMEM).
+_VMEM_BUDGET = (VMEM_LIMIT_MB - 6) * 2 ** 20
 
 
 def padded_fused_available(model):
@@ -469,6 +472,7 @@ def padded_fused_momentum_step(model, state, dt, u_start, v_start,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
         input_output_aliases={n_in - 6 + k: k for k in range(6)},
         interpret=interpret,
+        **vmem_compiler_params(interpret),
     )(params, *consts, *carry_in)
 
     u, v, s11, s22, s12, alpha = outs

@@ -37,48 +37,61 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_evp import (_P_DT, _P_DX, _P_DY, _P_F, _P_TAUU, _P_TAUV, _P_RC,
                          _P_UE, _P_VE, _P_EINV2, _P_AMIN, _P_AMAX, _P_CALPHA,
-                         _P_DMIN, _P_MASSMIN, _P_CONCMIN, _P_REPL)
+                         _P_DMIN, _P_MASSMIN, _P_CONCMIN, _P_REPL,
+                         VMEM_LIMIT_MB, vmem_compiler_params)
 
 _P_PARITY = 17  # spare params slot: global substep offset of the chunk
 
 CHUNK_SUBSTEPS = 8           # K: substeps per chunk
-TILE_ROWS = 128              # TX: max interior rows per slab
+TILE_ROWS = 512              # TX: max interior rows per slab
 WY = 64                      # y-overlap for 2-D tiling (lane-aligned, ≥ 2K+3)
-_Y_SLAB_MAX = 1024           # widest full-y slab; beyond this, tile y too
-_VMEM_BUDGET = 13 * 2 ** 20  # leave headroom under the 16 MB scoped limit
+_Y_SLAB_MAX = 2048           # widest full-y slab; beyond this, tile y too
+# Pickers budget against the raised Mosaic scoped-VMEM limit (the v5e has
+# 128 MB VMEM; see pallas_evp.VMEM_LIMIT_MB), minus headroom for Mosaic
+# scratch that doesn't scale with the tile.
+_VMEM_BUDGET = (VMEM_LIMIT_MB - 6) * 2 ** 20
+
+_TX_CHOICES = (1024, 768, 512, 384, 256, 192, 128, 96, 64, 32, 16, 8)
+
+
+def _block_x(TX, K):
+    """Halo-extended block rows: TX + 2W rounded up to the sublane rule."""
+    bx = TX + 2 * (2 * K + 3)
+    return bx + (-bx) % 8
+
+
+def _slab_vmem(bx, TX, TYb):
+    """Affine Mosaic occupancy model for one (bx, TYb) block, calibrated
+    on-device: double-buffered 11 input blocks + 6 output blocks plus ~33
+    block-sized temporaries.  Anchors: (552,1024) TX=512 compiled at
+    144.98 MB (over); (424,1024) TX=384 at ≈114 MB (fits); (168,2048)
+    TX=128 at ≈88 MB (fits)."""
+    return (55 * bx + 12 * TX) * TYb * 4
 
 
 def _pick_tile_rows(N, ny, K):
-    """Largest TX ∈ {128, 64, 32, 16, 8} dividing N whose slab working set
-    fits the VMEM budget.  The multiplier (~27 live (TX+2W, ny) f32 arrays)
-    is calibrated against Mosaic's measured scoped allocation (19.17 MB for
-    a (166, 1024) slab)."""
-    W = 2 * K + 3
-    for TX in (TILE_ROWS, 64, 32, 16, 8):
-        if N % TX:
+    """Largest TX dividing N whose slab working set fits the VMEM budget."""
+    for TX in _TX_CHOICES:
+        if TX > TILE_ROWS or N % TX:
             continue
-        if 27 * (TX + 2 * W + 8) * ny * 4 <= _VMEM_BUDGET:
+        if _slab_vmem(_block_x(TX, K), TX, ny) <= _VMEM_BUDGET:
             return TX
     return 8
 
 
 def _pick_tiles_2d(N, ny, K):
-    """(TX, TY) for the 2-D tiled path (ny > 1024): minimize the
+    """(TX, TY) for the 2-D tiled path (ny > _Y_SLAB_MAX): minimize the
     redundant-compute ratio over divisors with lane/sublane-aligned blocks."""
-    Wx = 2 * K + 3
     best = None
-    for TY in (1024, 896, 768, 640, 512, 384, 256, 128):
+    for TY in (2048, 1920, 1792, 1536, 1280, 1024, 896, 768, 640, 512, 384,
+               256, 128):
         if ny % TY or (TY + 2 * WY) % 128:
             continue
-        for TX in (256, 128, 64, 32, 16, 8):
+        for TX in _TX_CHOICES:
             if N % TX:
                 continue
-            bx = TX + 2 * Wx
-            bx += (-bx) % 8
-            # 2-D tiles allocate ~40 live block-sized f32 arrays (measured
-            # 16.76 MB for a (168, 640) block — more roll temporaries than
-            # the 1-D slab case's 27)
-            if 40 * (bx + 8) * (TY + 2 * WY) * 4 > _VMEM_BUDGET:
+            bx = _block_x(TX, K)
+            if _slab_vmem(bx, TX, TY + 2 * WY) > _VMEM_BUDGET:
                 continue
             ratio = (bx / TX) * ((TY + 2 * WY) / TY)
             if best is None or ratio < best[0]:
@@ -311,6 +324,7 @@ def tiled_chunked_evp(nsub, params, m, a, P, un, vn,
             + [blk_in] * 11,
             out_specs=[blk_out] * 6,
             interpret=interpret,
+            **vmem_compiler_params(interpret),
         )(params_c, *const_slabs, *carry_slabs)
         return tuple(outs), None
 

@@ -40,13 +40,24 @@ from jax.experimental.pallas import tpu as pltpu
 from ..grids import PERIODIC, BOUNDED
 from .pallas_evp import (_P_DT, _P_DX, _P_DY, _P_F, _P_RC, _P_EINV2,
                          _P_AMIN, _P_AMAX, _P_DMIN, _P_REPL)
+from .pallas_evp import VMEM_LIMIT_MB, vmem_compiler_params
 from .pallas_evp_tiled import _P_PARITY, CHUNK_SUBSTEPS
 from .pallas_evp_padded import _prepare_inputs, padded_fused_available
 
-_VMEM_BUDGET = 14 * 2 ** 20
-_ARRAY_MULT = 75       # measured at 26 inputs ((56, 1034) slab, 17.49 MB scoped)
-_ARRAY_MULT_DRAG = 84  # + 4 immersed consts + per-face drag shift temporaries
+# Budget against the raised Mosaic scoped-VMEM limit
+# (pallas_evp.VMEM_LIMIT_MB; the v5e has 128 MB of VMEM).
+_VMEM_BUDGET = (VMEM_LIMIT_MB - 6) * 2 ** 20
+# Affine Mosaic occupancy model for one (bx, TYb) block: double-buffered
+# 26 input blocks + 6 output blocks + ~25 block-sized temporaries
+# (anchor: (56, 1034) slab measured 17.49 MB scoped).  The ImmersedDrag
+# variant carries 4 more const blocks + per-face shift temporaries.
+_ARRAY_MULT = 77       # bx coefficient, drag-free
+_ARRAY_MULT_DRAG = 94  # bx coefficient with ImmersedDrag
 WY = 64           # y-overlap for 2-D tiles (lane-aligned, ≥ 2K+3)
+
+
+def _slab_vmem(bx, TX, TYb, mult):
+    return (mult * bx + 12 * TX) * TYb * 4
 
 
 def _drag_on(model):
@@ -58,12 +69,12 @@ def _drag_on(model):
 def _pick_tile_rows(Nx, nyp, K, periodic_x=False, mult=_ARRAY_MULT):
     """1-D x-slab tiling (slab spans full padded y)."""
     W = 3 * K + 3 if periodic_x else 2 * K + 3
-    for TX in (128, 64, 32, 16, 8):
+    for TX in (1024, 768, 512, 384, 256, 192, 128, 96, 64, 32, 16, 8):
         if Nx % TX:
             continue
         bx = TX + 2 * W
         bx += (-bx) % 8
-        if mult * (bx + 8) * nyp * 4 <= _VMEM_BUDGET:
+        if _slab_vmem(bx + 8, TX, nyp, mult) <= _VMEM_BUDGET:
             return TX
     return None
 
@@ -73,15 +84,15 @@ def _pick_tiles_2d(Nx, Ny, K, periodic_x=False, mult=_ARRAY_MULT):
     divisors under the VMEM budget."""
     Wx = 3 * K + 3 if periodic_x else 2 * K + 3
     best = None
-    for TY in (1024, 512, 256, 128):
+    for TY in (2048, 1536, 1024, 512, 256, 128):
         if Ny % TY or (TY + 2 * WY) % 128:
             continue
-        for TX in (256, 128, 64, 32, 16, 8):
+        for TX in (1024, 768, 512, 384, 256, 192, 128, 96, 64, 32, 16, 8):
             if Nx % TX:
                 continue
             bx = TX + 2 * Wx
             bx += (-bx) % 8
-            if mult * (bx + 8) * (TY + 2 * WY) * 4 > _VMEM_BUDGET:
+            if _slab_vmem(bx + 8, TX, TY + 2 * WY, mult) > _VMEM_BUDGET:
                 continue
             ratio = (bx / TX) * ((TY + 2 * WY) / TY)
             if best is None or ratio < best[0]:
@@ -123,9 +134,9 @@ def tiled_padded_available(model):
     if dyn.immersed_drag is not None and not isinstance(dyn.immersed_drag,
                                                         ImmersedDrag):
         return False  # general ImmersedStressBC callables: jnp path only
-    # HBM bound: gathered const slabs (22 arrays x ~2.5x overlap redundancy)
-    # persist across chunks
-    if grid.Nx * grid.Ny > 20_000_000:
+    # HBM bound: gathered const slabs (22 arrays x overlap redundancy)
+    # persist across chunks; the 16 GB HBM caps this near 8192^2
+    if grid.Nx * grid.Ny > 67_108_864:
         return False
     px = grid.topology[0] == PERIODIC
     mult = _ARRAY_MULT_DRAG if _drag_on(model) else _ARRAY_MULT
@@ -492,6 +503,7 @@ def tiled_padded_momentum_step(model, state, dt, u_start, v_start,
             + [blk_in] * (2 + len(const_slabs) + len(carry_slabs)),
             out_specs=[blk_out] * 6,
             interpret=interpret,
+            **vmem_compiler_params(interpret),
         )(params_c, gx, gy, *const_slabs, *carry_slabs)
         return tuple(outs), None
 
