@@ -58,6 +58,14 @@ class SplitExplicitSolver:
     #                   with halos ≥ 2·substeps+3 wide, local-only fills in
     #                   the loop (`split_explicit_momentum_equations.jl:51-64`)
     halo_exchange: str = "per_substep"
+    # fixed_tiles=(TX, TY) (TY=None → 1-D y-spanning slabs): pin the fused
+    # tiled-padded kernel's tile decomposition instead of auto-picking it
+    # from the local array shape.  With the same tile shape, the Mosaic
+    # kernel compiled for serial and distributed runs is identical, making
+    # the EVP substep arithmetic shard-shape-invariant (the engineered f32
+    # reproducibility mode; the reference gets the same property for free
+    # from per-point MPI arithmetic, `distributed_tests_utils.jl:83-86`).
+    fixed_tiles: tuple | None = None
 
 
 @pytree_dataclass

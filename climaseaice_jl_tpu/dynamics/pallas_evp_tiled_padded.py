@@ -66,11 +66,13 @@ def _drag_on(model):
             and model.grid.solid_cc is not None)
 
 
-def _pick_tile_rows(Nx, nyp, K, periodic_x=False, mult=_ARRAY_MULT):
-    """1-D x-slab tiling (slab spans full padded y)."""
+def _pick_tile_rows(Nx, nyp, K, periodic_x=False, mult=_ARRAY_MULT,
+                    require_divide=True):
+    """1-D x-slab tiling (slab spans full padded y).  ``require_divide=False``
+    (meshed dims) allows ceil-tiling with clamp-gathered overhang."""
     W = 3 * K + 3 if periodic_x else 2 * K + 3
     for TX in (1024, 768, 512, 384, 256, 192, 128, 96, 64, 32, 16, 8):
-        if Nx % TX:
+        if require_divide and Nx % TX:
             continue
         bx = TX + 2 * W
         bx += (-bx) % 8
@@ -79,7 +81,8 @@ def _pick_tile_rows(Nx, nyp, K, periodic_x=False, mult=_ARRAY_MULT):
     return None
 
 
-def _pick_tiles_2d(Nx, Ny, K, periodic_x=False, mult=_ARRAY_MULT):
+def _pick_tiles_2d(Nx, Ny, K, periodic_x=False, mult=_ARRAY_MULT,
+                   require_divide=True):
     """2-D tiling for wide grids: minimize redundant compute over aligned
     divisors under the VMEM budget."""
     Wx = 3 * K + 3 if periodic_x else 2 * K + 3
@@ -88,7 +91,7 @@ def _pick_tiles_2d(Nx, Ny, K, periodic_x=False, mult=_ARRAY_MULT):
         if Ny % TY or (TY + 2 * WY) % 128:
             continue
         for TX in (1024, 768, 512, 384, 256, 192, 128, 96, 64, 32, 16, 8):
-            if Nx % TX:
+            if require_divide and Nx % TX:
                 continue
             bx = TX + 2 * Wx
             bx += (-bx) % 8
@@ -138,10 +141,33 @@ def tiled_padded_available(model):
     # persist across chunks; the 16 GB HBM caps this near 8192^2
     if grid.Nx * grid.Ny > 67_108_864:
         return False
-    px = grid.topology[0] == PERIODIC
+    from ..fields import _meshed
+    mx = _meshed(grid, 0)
+    px = grid.topology[0] == PERIODIC and not mx
     mult = _ARRAY_MULT_DRAG if _drag_on(model) else _ARRAY_MULT
-    if (_pick_tile_rows(grid.Nx, grid.nyp, CHUNK_SUBSTEPS, px, mult) is None
-            and _pick_tiles_2d(grid.Nx, grid.Ny, CHUNK_SUBSTEPS, px, mult) is None):
+    fixed = getattr(dyn.solver, "fixed_tiles", None)
+    if fixed is not None:
+        TXf, TYf = fixed
+        K = CHUNK_SUBSTEPS
+        Wf = 3 * K + 3          # fixed mode always uses the wide overlap
+        bxf = TXf + 2 * Wf
+        bxf += (-bxf) % 8
+        if not mx and grid.Nx % TXf:
+            return False
+        if TYf is None:
+            if _slab_vmem(bxf + 8, TXf, grid.nyp, mult) > _VMEM_BUDGET:
+                return False
+        else:
+            if not _meshed(grid, 1) and grid.Ny % TYf:
+                return False
+            if (TYf + 2 * WY) % 128:
+                return False
+            if _slab_vmem(bxf + 8, TXf, TYf + 2 * WY, mult) > _VMEM_BUDGET:
+                return False
+    elif (_pick_tile_rows(grid.Nx, grid.nyp, CHUNK_SUBSTEPS, px, mult,
+                          require_divide=not mx) is None
+            and _pick_tiles_2d(grid.Nx, grid.Ny, CHUNK_SUBSTEPS, px, mult,
+                               require_divide=not mx) is None):
         return False
 
     def ok_val(x):
@@ -422,26 +448,52 @@ def tiled_padded_momentum_step(model, state, dt, u_start, v_start,
 
     Dispatches between 1-D x-slabs (tile spans full padded y; cheapest when
     ``nyp`` fits) and 2-D tiles with conditional boundary fills in both
-    dimensions (wide grids, e.g. 1024²+)."""
-    from ..fields import fill_halos_cc, fill_halos_fc, fill_halos_cf, fill_halos_ff
+    dimensions (wide grids, e.g. 1024²+).
+
+    On mesh-connected dimensions (distributed wide-halo shards) the carried
+    extent is the full *padded* extent: the wide halos hold neighbor data
+    whose in-loop evolution (validity shrinking ~2 cells/substep, covered by
+    Hw = 2·substeps+3) must be computed, not clamp-replicated.  Tiles then
+    cover ceil(ext/TX)·TX rows and the overhang is clamp-gathered and
+    discarded — the same validity argument as the jnp wide path's local-only
+    fills."""
+    from ..fields import (fill_halos_cc, fill_halos_fc, fill_halos_cf,
+                          fill_halos_ff, _meshed)
 
     grid = model.grid
     Hx, Nx, Hy, Ny, nyp = grid.Hx, grid.Nx, grid.Hy, grid.Ny, grid.nyp
     nsub = model.dynamics.solver.substeps
-    periodic_x = grid.topology[0] == PERIODIC
-    periodic_y = grid.topology[1] == PERIODIC
+    periodic_x = grid.topology[0] == PERIODIC and not _meshed(grid, 0)
+    periodic_y = grid.topology[1] == PERIODIC and not _meshed(grid, 1)
+    mx, my = _meshed(grid, 0), _meshed(grid, 1)
+    x_ext = grid.nxp if mx else Nx       # carried x extent
     K = CHUNK_SUBSTEPS
     mult = _ARRAY_MULT_DRAG if _drag_on(model) else _ARRAY_MULT
-    TX = _pick_tile_rows(Nx, nyp, K, periodic_x, mult)
-    if TX is not None:
-        TY, Wy = nyp, 0
-        nty = 1
+    fixed = getattr(model.dynamics.solver, "fixed_tiles", None)
+    if fixed is not None:
+        TX, TY = fixed
+        if TY is None:
+            TY, Wy, nty = nyp, 0, 1
+        else:
+            Wy = WY
+            y_ext = nyp if my else Ny
+            nty = -(-y_ext // TY) if my else Ny // TY
     else:
-        TX, TY = _pick_tiles_2d(Nx, Ny, K, periodic_x, mult)
-        Wy = WY
-        nty = Ny // TY
-    n_tiles = Nx // TX
-    W = 3 * K + 3 if periodic_x else 2 * K + 3
+        TX = _pick_tile_rows(Nx, nyp, K, periodic_x, mult,
+                             require_divide=not mx)
+        if TX is not None:
+            TY, Wy = nyp, 0
+            nty = 1
+        else:
+            TX, TY = _pick_tiles_2d(Nx, Ny, K, periodic_x, mult,
+                                    require_divide=not mx)
+            Wy = WY
+            y_ext = nyp if my else Ny
+            nty = -(-y_ext // TY) if my else Ny // TY
+    n_tiles = -(-x_ext // TX) if mx else Nx // TX
+    # fixed-tile mode pins W too: the block shape (hence the Mosaic
+    # compilation) must not depend on the local topology flags
+    W = 3 * K + 3 if (periodic_x or fixed is not None) else 2 * K + 3
     while (TX + 2 * W) % 8:
         W += 1
     n_chunks = nsub // K
@@ -449,15 +501,27 @@ def tiled_padded_momentum_step(model, state, dt, u_start, v_start,
     params, consts, carry_in, P, has_drag = _prepare_inputs(model, state, dt,
                                                             u_start, v_start)
 
-    idx = _slab_index(Nx, n_tiles, TX, W, periodic_x)
-    idx_pad = _slab_index(Nx, n_tiles, TX, W, periodic_x, Hx=Hx, nxp=grid.nxp)
-    gx_rows = np.concatenate([np.arange(i * TX - W, i * TX + TX + W)
-                              for i in range(n_tiles)]).astype(np.float32)
+    if mx:
+        # carried layout is the padded array itself; gathers clamp at its edge
+        idx = idx_pad = _slab_index(x_ext, n_tiles, TX, W, False)
+        gx_rows = np.concatenate([np.arange(i * TX - W, i * TX + TX + W)
+                                  for i in range(n_tiles)]).astype(np.float32) - Hx
+    else:
+        idx = _slab_index(Nx, n_tiles, TX, W, periodic_x)
+        idx_pad = _slab_index(Nx, n_tiles, TX, W, periodic_x, Hx=Hx,
+                              nxp=grid.nxp)
+        gx_rows = np.concatenate([np.arange(i * TX - W, i * TX + TX + W)
+                                  for i in range(n_tiles)]).astype(np.float32)
     if Wy:
-        idy = _slab_index(Ny, nty, TY, Wy, periodic_y)
-        idy_pad = _slab_index(Ny, nty, TY, Wy, periodic_y, Hx=Hy, nxp=nyp)
-        gy_cols = np.concatenate([np.arange(j * TY - Wy, j * TY + TY + Wy)
-                                  for j in range(nty)]).astype(np.float32)
+        if my:
+            idy = idy_pad = _slab_index(nyp, nty, TY, Wy, False)
+            gy_cols = np.concatenate([np.arange(j * TY - Wy, j * TY + TY + Wy)
+                                      for j in range(nty)]).astype(np.float32) - Hy
+        else:
+            idy = _slab_index(Ny, nty, TY, Wy, periodic_y)
+            idy_pad = _slab_index(Ny, nty, TY, Wy, periodic_y, Hx=Hy, nxp=nyp)
+            gy_cols = np.concatenate([np.arange(j * TY - Wy, j * TY + TY + Wy)
+                                      for j in range(nty)]).astype(np.float32)
         ncols = gy_cols.size
     else:
         idy = idy_pad = None
@@ -466,7 +530,7 @@ def tiled_padded_momentum_step(model, state, dt, u_start, v_start,
     gx = jnp.broadcast_to(jnp.asarray(gx_rows)[:, None], (gx_rows.size, ncols))
     gy = jnp.broadcast_to(jnp.asarray(gy_cols)[None, :], (gx_rows.size, ncols))
 
-    def slab_int(q):       # carry (x-interior[, y-interior]) → tiles
+    def slab_int(q):       # carry (carried layout) → tiles
         q = q[idx]
         return q if idy is None else q[:, idy]
 
@@ -475,11 +539,20 @@ def tiled_padded_momentum_step(model, state, dt, u_start, v_start,
         return q if idy_pad is None else q[:, idy_pad]
 
     def strip(q):          # padded → carried layout
-        q = q[Hx:Hx + Nx]
-        return q if Wy == 0 else q[:, Hy:Hy + Ny]
+        if not mx:
+            q = q[Hx:Hx + Nx]
+        if Wy and not my:
+            q = q[:, Hy:Hy + Ny]
+        return q
 
     const_slabs = [slab_pad(q) for q in consts]
     carry = tuple(strip(q) for q in carry_in)
+
+    def to_alloc(q):       # overhang-pad so the scan carry is shape-stable
+        dx_, dy_ = n_tiles * TX - q.shape[0], (nty * TY if Wy else nyp) - q.shape[1]
+        return jnp.pad(q, ((0, dx_), (0, dy_))) if (dx_ or dy_) else q
+
+    carry = tuple(to_alloc(q) for q in carry)
 
     make_fillers = functools.partial(_make_slab_fillers, grid, TX, W, TY, Wy)
     kernel = functools.partial(_tiled_padded_kernel, K, TX, W, TY, Wy,
@@ -490,7 +563,11 @@ def tiled_padded_momentum_step(model, state, dt, u_start, v_start,
                           memory_space=pltpu.VMEM)
     blk_out = pl.BlockSpec((TX, oy), lambda i, j: (i, j),
                            memory_space=pltpu.VMEM)
-    out_rows, out_cols = Nx, (Ny if Wy else nyp)
+    # allocation may overhang the carried extent on meshed dims (ceil tiles);
+    # overhang rows/cols are never gathered and are sliced off at the end
+    out_rows, out_cols = n_tiles * TX, (nty * TY if Wy else nyp)
+    crop_rows = x_ext
+    crop_cols = (nyp if my else Ny) if Wy else nyp
 
     def chunk(carry, k_chunk):
         params_c = params.at[_P_PARITY].set((k_chunk * K).astype(jnp.float32))
@@ -508,12 +585,13 @@ def tiled_padded_momentum_step(model, state, dt, u_start, v_start,
         return tuple(outs), None
 
     carry, _ = lax.scan(chunk, carry, jnp.arange(n_chunks))
-    u, v, s11, s22, s12, alpha = carry
+    u, v, s11, s22, s12, alpha = (q[:crop_rows, :crop_cols] for q in carry)
 
     def repad(q):          # carried layout → padded, halos rebuilt by fills
-        zx = jnp.zeros((Hx, q.shape[1]), jnp.float32)
-        q = jnp.concatenate([zx, q, zx], 0)
-        if Wy:
+        if not mx:
+            zx = jnp.zeros((Hx, q.shape[1]), jnp.float32)
+            q = jnp.concatenate([zx, q, zx], 0)
+        if Wy and not my:
             zy = jnp.zeros((q.shape[0], Hy), jnp.float32)
             q = jnp.concatenate([zy, q, zy], 1)
         return q

@@ -578,6 +578,17 @@ def with_halo(grid: Grid, halo):
         g = RectilinearGrid((grid.Nx, grid.Ny), x=(x0, x1), y=(y0, y1),
                             topology=grid.topology, halo=halo, dtype=grid.dtype,
                             north_fold=grid.north_fold)
+        # Preserve the original uniform metric scalars bit-exactly: the
+        # float(xf[1]-xf[0]) round-trip above shifts Δx by ulps, and a
+        # metric-perturbed wide grid seeds γ-sensitive EVP differences
+        # between wide-halo and plain runs (serial ≡ distributed demands
+        # identical arithmetic inputs).
+        mets = {f: v for f in ("dx_cc", "dx_fc", "dx_cf", "dx_ff",
+                               "dy_cc", "dy_fc", "dy_cf", "dy_ff",
+                               "az_cc", "az_fc", "az_cf", "az_ff")
+                if (v := getattr(grid, f)) is not None and np.ndim(v) == 0}
+        if mets:
+            g = g.evolve(**mets)
     elif grid.kind == "latlon":
         # reconstruct the constructor arguments from the stored grid: uniform
         # spacings, so extent = first face + N·Δ; radius from Δy = R Δφ_rad

@@ -344,14 +344,19 @@ def momentum_step(model, state, dt, u_prev=None, v_prev=None):
             from .dynamics.pallas_evp_padded import (padded_fused_available,
                                                      padded_fused_momentum_step)
             on_tpu = jax.default_backend() in ("tpu", "axon")
-            if fused_available(model) and (fused_mode == "always" or on_tpu):
-                upd = fused_split_explicit_momentum_step(
-                    model, state, dt, u_start, v_start, interpret=not on_tpu)
-                return state.evolve(**upd)
-            if padded_fused_available(model) and (fused_mode == "always" or on_tpu):
-                upd = padded_fused_momentum_step(
-                    model, state, dt, u_start, v_start, interpret=not on_tpu)
-                return state.evolve(**upd)
+            # fixed_tiles pins the tiled-padded kernel everywhere so serial
+            # and distributed runs share one Mosaic compilation (see
+            # SplitExplicitSolver.fixed_tiles)
+            fixed = getattr(dyn.solver, "fixed_tiles", None)
+            if fixed is None:
+                if fused_available(model) and (fused_mode == "always" or on_tpu):
+                    upd = fused_split_explicit_momentum_step(
+                        model, state, dt, u_start, v_start, interpret=not on_tpu)
+                    return state.evolve(**upd)
+                if padded_fused_available(model) and (fused_mode == "always" or on_tpu):
+                    upd = padded_fused_momentum_step(
+                        model, state, dt, u_start, v_start, interpret=not on_tpu)
+                    return state.evolve(**upd)
             from .dynamics.pallas_evp_tiled_padded import (
                 tiled_padded_available, tiled_padded_momentum_step)
             if tiled_padded_available(model) and (fused_mode == "always" or on_tpu):

@@ -155,7 +155,7 @@ def test_tiled_2d_kernel_bitwise_matches_lean(monkeypatch):
     import climaseaice_jl_tpu.dynamics.pallas_evp_tiled as pt
 
     monkeypatch.setattr(pt, "_Y_SLAB_MAX", 128)
-    monkeypatch.setattr(pt, "_pick_tiles_2d", lambda N, ny, K: (64, 128))
+    monkeypatch.setattr(pt, "_pick_tiles_2d", lambda N, ny, K, **kw: (64, 128))
 
     rng = np.random.default_rng(1)
     N, ny = 128, 256   # → 2×2 grid of (64+2W, 128+2·64) tiles
@@ -349,7 +349,7 @@ def test_tiled_padded_matches_whole_padded(topo, monkeypatch):
     state = update_state(model, csi.initial_state(model, h=h0, a=1.0, u=0.0))
     whole = pp.padded_fused_momentum_step(model, state, 60.0, state.u, state.v,
                                           interpret=True)
-    monkeypatch.setattr(tpd, "_pick_tile_rows", lambda Nx, nyp, K, p=False, m=0: 8)
+    monkeypatch.setattr(tpd, "_pick_tile_rows", lambda Nx, nyp, K, p=False, m=0, **kw: 8)
     tiled = tpd.tiled_padded_momentum_step(model, state, 60.0, state.u, state.v,
                                            interpret=True)
     I = model.grid.interior
@@ -399,8 +399,8 @@ def test_tiled_padded_2d_matches_whole_padded(topo, monkeypatch):
     state = update_state(model, csi.initial_state(model, h=h0, a=1.0, u=0.0))
     whole = pp.padded_fused_momentum_step(model, state, 60.0, state.u, state.v,
                                           interpret=True)
-    monkeypatch.setattr(tpd, "_pick_tile_rows", lambda Nx, nyp, K, p=False, m=0: None)
-    monkeypatch.setattr(tpd, "_pick_tiles_2d", lambda Nx, Ny, K, p=False, m=0: (8, 12))
+    monkeypatch.setattr(tpd, "_pick_tile_rows", lambda Nx, nyp, K, p=False, m=0, **kw: None)
+    monkeypatch.setattr(tpd, "_pick_tiles_2d", lambda Nx, Ny, K, p=False, m=0, **kw: (8, 12))
     monkeypatch.setattr(tpd, "WY", 8)
     tiled = tpd.tiled_padded_momentum_step(model, state, 60.0, state.u, state.v,
                                            interpret=True)
@@ -433,7 +433,7 @@ def test_tiled_padded_dispatch_through_step(monkeypatch):
 
     monkeypatch.setattr(pp, "padded_fused_available", lambda m: False)
     monkeypatch.setattr(tpd, "tiled_padded_momentum_step", spy)
-    monkeypatch.setattr(tpd, "_pick_tile_rows", lambda Nx, nyp, K, p=False, m=0: 8)
+    monkeypatch.setattr(tpd, "_pick_tile_rows", lambda Nx, nyp, K, p=False, m=0, **kw: 8)
     jax.clear_caches()
 
     model_f, state_f = _build_bounded("always", substeps=16)
