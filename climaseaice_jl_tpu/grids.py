@@ -84,6 +84,16 @@ class Grid:
     az_cf: object = None
     az_ff: object = None
 
+    # --- physical coordinates for curvilinear grids ---------------------------
+    # Padded (nxp, nyp) cell-center longitude/latitude in degrees (None on
+    # rectilinear grids, whose xc/yc are already physical).  The analog of
+    # Oceananigans `λnodes`/`φnodes` the reference uses for initial conditions
+    # and spatially varying forcing.  Halo values are periodic in x and
+    # edge-clamped in y (adequate for IC/forcing evaluation, which only the
+    # interior of survives the halo fill).
+    lon_cc: object = None
+    lat_cc: object = None
+
     # --- immersed boundary ----------------------------------------------------
     # Boolean (nxp, nyp) array, True where the cell is solid (land); or None.
     solid_cc: object = None
@@ -133,6 +143,19 @@ class Grid:
             x = self.xc[self.Hx:self.Hx + self.Nx, None]
             y = self.yc[None, self.Hy:self.Hy + self.Ny]
             values = values(x, y)
+        return self.set_interior(q, values)
+
+    def field_from_latlon(self, values):
+        """Like ``field_from`` but the callable receives padded (lon, lat)
+        cell-center arrays in degrees (curvilinear grids only) — the analog
+        of Oceananigans ``set!(field, f(λ, φ))`` on lat-lon/tripolar grids."""
+        if self.lon_cc is None:
+            raise ValueError("field_from_latlon requires a curvilinear grid "
+                             "with stored lon_cc/lat_cc")
+        q = self.new_field()
+        if callable(values):
+            values = self.interior(
+                jnp.asarray(values(self.lon_cc, self.lat_cc)))
         return self.set_interior(q, values)
 
     @property
@@ -405,6 +428,7 @@ def CurvilinearGrid(corner_longitude, corner_latitude,
         dy_cc=dy_cc_p, dy_fc=dy_fc_p, dy_cf=dy_cf_p, dy_ff=dy_ff_p,
         az_cc=dx_cc_p * dy_cc_p, az_fc=dx_fc_p * dy_fc_p,
         az_cf=dx_cf_p * dy_cf_p, az_ff=dx_ff_p * dy_ff_p,
+        lon_cc=_pad(lam_c, False, False), lat_cc=_pad(phi_c, False, False),
         solid_cc=None,
     )
 
@@ -648,4 +672,6 @@ def _curvilinear_with_halo(grid: Grid, Hx, Hy):
         dy_cf=repad(grid.dy_cf), dy_ff=repad(grid.dy_ff),
         az_cc=repad(grid.az_cc), az_fc=repad(grid.az_fc),
         az_cf=repad(grid.az_cf), az_ff=repad(grid.az_ff),
+        lon_cc=None if grid.lon_cc is None else repad(grid.lon_cc),
+        lat_cc=None if grid.lat_cc is None else repad(grid.lat_cc),
         solid_cc=None)

@@ -116,6 +116,8 @@ def _local_grid(grid, nx, ny, ix, iy, axes, mesh_shape):
         dy_cf=slice_metric(grid.dy_cf), dy_ff=slice_metric(grid.dy_ff),
         az_cc=slice_metric(grid.az_cc), az_fc=slice_metric(grid.az_fc),
         az_cf=slice_metric(grid.az_cf), az_ff=slice_metric(grid.az_ff),
+        lon_cc=None if grid.lon_cc is None else slice_metric(grid.lon_cc),
+        lat_cc=None if grid.lat_cc is None else slice_metric(grid.lat_cc),
         solid_cc=None,  # reattached (exchanged) by _local_masks
     )
 
