@@ -344,6 +344,13 @@ def momentum_step(model, state, dt, u_prev=None, v_prev=None):
             from .dynamics.pallas_evp_padded import (padded_fused_available,
                                                      padded_fused_momentum_step)
             on_tpu = jax.default_backend() in ("tpu", "axon")
+            from .dynamics.pallas_evp_curvilinear import (
+                curvilinear_fused_available, curvilinear_fused_momentum_step)
+            if curvilinear_fused_available(model) and (fused_mode == "always"
+                                                       or on_tpu):
+                upd = curvilinear_fused_momentum_step(
+                    model, state, dt, u_start, v_start, interpret=not on_tpu)
+                return state.evolve(**upd)
             # fixed_tiles pins the tiled-padded kernel everywhere so serial
             # and distributed runs share one Mosaic compilation (see
             # SplitExplicitSolver.fixed_tiles)

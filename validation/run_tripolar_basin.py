@@ -130,7 +130,7 @@ def build(Nx=360, Ny=300, substeps=120):
         grid, dynamics=dynamics,
         ice_thermodynamics=csi.sea_ice_slab_thermodynamics(),
         snow_thermodynamics=csi.snow_slab_thermodynamics(),
-        snowfall=1e-8,                      # ~0.3 m/yr snow accumulation
+        snowfall=3.2e-6,                    # kg/m^2/s: ~0.3 m/yr snow depth
         top_heat_flux=top_heat_flux,
         bottom_heat_flux=-2.0,              # small ocean heat flux
         advection=csi.WENO(order=7), timestepper="SplitRungeKutta3")
