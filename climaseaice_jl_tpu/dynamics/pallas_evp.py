@@ -75,13 +75,12 @@ _MAX_POINTS_TILED = 67_108_864  # 8192²; HBM (16 GB) is the binding cap above
 
 
 def _tiled_eligible(grid, nsub):
-    from .pallas_evp_tiled import (TILE_ROWS, CHUNK_SUBSTEPS, _Y_SLAB_MAX,
-                                   _pick_tiles_2d)
-    if nsub % CHUNK_SUBSTEPS or grid.Nx * grid.Ny > _MAX_POINTS_TILED:
+    from .pallas_evp_tiled import _plan_tiles, pick_chunk
+    K = pick_chunk(nsub)
+    if K is None or grid.Nx * grid.Ny > _MAX_POINTS_TILED:
         return False
-    if grid.Ny <= _Y_SLAB_MAX:  # x-slabs spanning full y
-        return grid.Nx % TILE_ROWS == 0
-    return _pick_tiles_2d(grid.Nx, grid.Ny, CHUNK_SUBSTEPS) is not None
+    plan = _plan_tiles(grid.Nx, grid.Ny, K)
+    return plan is not None and grid.Nx % plan[0] == 0
 
 
 def _scalar(x):

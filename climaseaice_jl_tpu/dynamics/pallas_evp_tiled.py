@@ -42,7 +42,21 @@ from .pallas_evp import (_P_DT, _P_DX, _P_DY, _P_F, _P_TAUU, _P_TAUV, _P_RC,
 
 _P_PARITY = 17  # spare params slot: global substep offset of the chunk
 
-CHUNK_SUBSTEPS = 8           # K: substeps per chunk
+CHUNK_SUBSTEPS = 15          # K cap: max substeps per chunk (see pick_chunk)
+
+
+def pick_chunk(nsub):
+    """Chunk length K for ``nsub`` substeps: the largest divisor of nsub
+    ≤ CHUNK_SUBSTEPS (amortizes the per-chunk HBM round-trip and the hoisted
+    loop-invariants over as many substeps as possible), or None when nsub has
+    no divisor in [2, CHUNK_SUBSTEPS] (prime substep counts > cap: caller
+    falls back).  K only affects scheduling — interior results are exact for
+    any K with W ≥ 2K+3 — so serial and per-shard runs agree whenever they
+    share nsub."""
+    for K in range(min(CHUNK_SUBSTEPS, nsub), 1, -1):
+        if nsub % K == 0:
+            return K
+    return None
 TILE_ROWS = 512              # TX: max interior rows per slab
 WY = 64                      # y-overlap for 2-D tiling (lane-aligned, ≥ 2K+3)
 _Y_SLAB_MAX = 2048           # widest full-y slab; beyond this, tile y too
@@ -62,11 +76,11 @@ def _block_x(TX, K):
 
 def _slab_vmem(bx, TX, TYb):
     """Affine Mosaic occupancy model for one (bx, TYb) block, calibrated
-    on-device: double-buffered 11 input blocks + 6 output blocks plus ~33
-    block-sized temporaries.  Anchors: (552,1024) TX=512 compiled at
-    144.98 MB (over); (424,1024) TX=384 at ≈114 MB (fits); (168,2048)
-    TX=128 at ≈88 MB (fits)."""
-    return (55 * bx + 12 * TX) * TYb * 4
+    on-device: double-buffered 11 input blocks + 6 output blocks plus
+    block-sized temporaries — including the ~7 extra mass/strength
+    coefficients now hoisted out of the substep body (the pre-hoist
+    coefficient was 55)."""
+    return (70 * bx + 12 * TX) * TYb * 4
 
 
 def _pick_tile_rows(N, ny, K):
@@ -79,8 +93,30 @@ def _pick_tile_rows(N, ny, K):
     return 8
 
 
+def _plan_tiles(N, ny, K):
+    """Best (TX, TY, Wy) layout for the chunked kernel: the full-y x-slab and
+    the 2-D tiling compete on modeled redundant-compute ratio.  At ny = 2048
+    a full-y slab still fits VMEM but only at TX = 64 (ratio ≈ 2.1 with
+    K = 15), where the 2-D (256, 1024) tiling costs ≈ 1.44 — measured 12.8 vs
+    ≈ 16 M pts/s.  Returns None when nothing fits."""
+    options = []
+    if ny <= _Y_SLAB_MAX:
+        TX = _pick_tile_rows(N, ny, K)
+        if TX is not None:
+            options.append((_block_x(TX, K) / TX, TX, ny, 0))
+    t2 = _pick_tiles_2d(N, ny, K)
+    if t2 is not None:
+        TX, TY = t2
+        options.append(((_block_x(TX, K) / TX) * ((TY + 2 * WY) / TY),
+                        TX, TY, WY))
+    if not options:
+        return None
+    _, TX, TY, Wy = min(options)
+    return TX, TY, Wy
+
+
 def _pick_tiles_2d(N, ny, K):
-    """(TX, TY) for the 2-D tiled path (ny > _Y_SLAB_MAX): minimize the
+    """(TX, TY) for the 2-D tiled path: minimize the
     redundant-compute ratio over divisors with lane/sublane-aligned blocks."""
     best = None
     for TY in (2048, 1920, 1792, 1536, 1280, 1024, 896, 768, 640, 512, 384,
@@ -152,31 +188,35 @@ def _tiled_kernel(K, TX, W, TY, Wy, params_ref,
     un = un_ref[:]
     vn = vn_ref[:]
 
+    # Loop-invariant mass/strength-derived coefficients, hoisted out of the
+    # substep body: under the original ~16 MB scoped-VMEM limit these were
+    # recomputed per substep to keep the live set minimal (the `+ guard`
+    # trick blocked hoisting); with the raised 128 MB limit the ~30 % of
+    # per-substep VPU work they represent is better spent once per chunk.
+    m = m_ref[:]
+    a = a_ref[:]
+    P = P_ref[:]
+    m_fc = ixf_(m)
+    a_fc = ixf_(a)
+    m_cf = iyf_(m)
+    a_cf = iyf_(a)
+    ok_u = m_fc > 0
+    ok_v = m_cf > 0
+    invm_u = jnp.where(ok_u, 1.0 / jnp.where(ok_u, m_fc, 1.0), 0.0)
+    invm_v = jnp.where(ok_v, 1.0 / jnp.where(ok_v, m_cf, 1.0), 0.0)
+    drag_u = invm_u * a_fc
+    drag_v = invm_v * a_cf
+    act_u = jnp.where((m_fc >= mass_min) & (a_fc >= conc_min), 1.0, 0.0)
+    act_v = jnp.where((m_cf >= mass_min) & (a_cf >= conc_min), 1.0, 0.0)
+    m_ff = ixf_(iyf_(m))
+    Pff = ixf_(iyf_(P))
+    ok_cc = m > 0
+    ok_ff = m_ff > 0
+    gcc = jnp.where(ok_cc, c_alpha * dt * inv_az / jnp.where(ok_cc, m, 1.0), -1.0)
+    gff = jnp.where(ok_ff, c_alpha * dt * inv_az / jnp.where(ok_ff, m_ff, 1.0), -1.0)
+
     def body(i, carry):
         u, v, s11, s22, s12, alpha = carry
-        guard = jnp.where(i < 0, jnp.float32(1), jnp.float32(0))
-        m = m_ref[:] + guard
-        a = a_ref[:] + guard
-        P = P_ref[:]
-
-        m_fc = ixf_(m)
-        a_fc = ixf_(a)
-        m_cf = iyf_(m)
-        a_cf = iyf_(a)
-        ok_u = m_fc > 0
-        ok_v = m_cf > 0
-        invm_u = jnp.where(ok_u, 1.0 / jnp.where(ok_u, m_fc, 1.0), 0.0)
-        invm_v = jnp.where(ok_v, 1.0 / jnp.where(ok_v, m_cf, 1.0), 0.0)
-        drag_u = invm_u * a_fc
-        drag_v = invm_v * a_cf
-        act_u = jnp.where((m_fc >= mass_min) & (a_fc >= conc_min), 1.0, 0.0)
-        act_v = jnp.where((m_cf >= mass_min) & (a_cf >= conc_min), 1.0, 0.0)
-        m_ff = ixf_(iyf_(m))
-        Pff = ixf_(iyf_(P))
-        ok_cc = m > 0
-        ok_ff = m_ff > 0
-        gcc = jnp.where(ok_cc, c_alpha * dt * inv_az / jnp.where(ok_cc, m, 1.0), -1.0)
-        gff = jnp.where(ok_ff, c_alpha * dt * inv_az / jnp.where(ok_ff, m_ff, 1.0), -1.0)
 
         e11 = (sm(u, 0) - u) * inv_dx
         e22 = (sm(v, 1) - v) * inv_dy
@@ -286,15 +326,11 @@ def tiled_chunked_evp(nsub, params, m, a, P, un, vn,
                       u, v, s11, s22, s12, alpha, interpret=False):
     """Run ``nsub`` substeps in chunks of CHUNK_SUBSTEPS over TILE_ROWS-row
     x-slabs.  Operands are interior-only (N, ny) f32 arrays; returns the six
-    updated carry arrays.  Requires N % TILE_ROWS == 0 and
-    nsub % CHUNK_SUBSTEPS == 0 (checked by the caller)."""
+    updated carry arrays.  Requires N % TILE_ROWS == 0 and a chunkable nsub
+    (checked by the caller via pick_chunk)."""
     N, ny = u.shape
-    K = CHUNK_SUBSTEPS
-    if ny > _Y_SLAB_MAX:
-        TX, TY = _pick_tiles_2d(N, ny, K)
-        Wy = WY
-    else:
-        TX, TY, Wy = _pick_tile_rows(N, ny, K), ny, 0
+    K = pick_chunk(nsub)
+    TX, TY, Wy = _plan_tiles(N, ny, K)
     n_tiles = N // TX
     nty = ny // TY
     W = 2 * K + 3

@@ -41,7 +41,7 @@ from ..grids import PERIODIC, BOUNDED
 from .pallas_evp import (_P_DT, _P_DX, _P_DY, _P_F, _P_RC, _P_EINV2,
                          _P_AMIN, _P_AMAX, _P_DMIN, _P_REPL)
 from .pallas_evp import VMEM_LIMIT_MB, vmem_compiler_params
-from .pallas_evp_tiled import _P_PARITY, CHUNK_SUBSTEPS
+from .pallas_evp_tiled import _P_PARITY, pick_chunk
 from .pallas_evp_padded import _prepare_inputs, padded_fused_available
 
 # Budget against the raised Mosaic scoped-VMEM limit
@@ -120,7 +120,8 @@ def tiled_padded_available(model):
         return False
     if not isinstance(dyn.solver, SplitExplicitSolver):
         return False
-    if dyn.solver.substeps % CHUNK_SUBSTEPS:
+    K = pick_chunk(dyn.solver.substeps)
+    if K is None:
         return False
     if grid.kind != "rectilinear" or grid.north_fold:
         return False
@@ -148,7 +149,6 @@ def tiled_padded_available(model):
     fixed = getattr(dyn.solver, "fixed_tiles", None)
     if fixed is not None:
         TXf, TYf = fixed
-        K = CHUNK_SUBSTEPS
         Wf = 3 * K + 3          # fixed mode always uses the wide overlap
         bxf = TXf + 2 * Wf
         bxf += (-bxf) % 8
@@ -164,9 +164,9 @@ def tiled_padded_available(model):
                 return False
             if _slab_vmem(bxf + 8, TXf, TYf + 2 * WY, mult) > _VMEM_BUDGET:
                 return False
-    elif (_pick_tile_rows(grid.Nx, grid.nyp, CHUNK_SUBSTEPS, px, mult,
+    elif (_pick_tile_rows(grid.Nx, grid.nyp, K, px, mult,
                           require_divide=not mx) is None
-            and _pick_tiles_2d(grid.Nx, grid.Ny, CHUNK_SUBSTEPS, px, mult,
+            and _pick_tiles_2d(grid.Nx, grid.Ny, K, px, mult,
                                require_divide=not mx) is None):
         return False
 
@@ -467,7 +467,7 @@ def tiled_padded_momentum_step(model, state, dt, u_start, v_start,
     periodic_y = grid.topology[1] == PERIODIC and not _meshed(grid, 1)
     mx, my = _meshed(grid, 0), _meshed(grid, 1)
     x_ext = grid.nxp if mx else Nx       # carried x extent
-    K = CHUNK_SUBSTEPS
+    K = pick_chunk(nsub)
     mult = _ARRAY_MULT_DRAG if _drag_on(model) else _ARRAY_MULT
     fixed = getattr(model.dynamics.solver, "fixed_tiles", None)
     if fixed is not None:
@@ -479,14 +479,28 @@ def tiled_padded_momentum_step(model, state, dt, u_start, v_start,
             y_ext = nyp if my else Ny
             nty = -(-y_ext // TY) if my else Ny // TY
     else:
-        TX = _pick_tile_rows(Nx, nyp, K, periodic_x, mult,
-                             require_divide=not mx)
-        if TX is not None:
-            TY, Wy = nyp, 0
-            nty = 1
+        # Slab and 2-D layouts compete on modeled redundant-compute ratio
+        # (see pallas_evp_tiled._plan_tiles): a full-y slab that only fits at
+        # a tiny TX loses to a 2-D tiling with moderate y overlap.
+        Wb = 3 * K + 3 if periodic_x else 2 * K + 3
+        options = []
+        TXs = _pick_tile_rows(Nx, nyp, K, periodic_x, mult,
+                              require_divide=not mx)
+        if TXs is not None:
+            bxs = TXs + 2 * Wb
+            bxs += (-bxs) % 8
+            options.append(((bxs / TXs) * (nyp / Ny), TXs, None))
+        t2 = _pick_tiles_2d(Nx, Ny, K, periodic_x, mult,
+                            require_divide=not mx)
+        if t2 is not None:
+            TX2, TY2 = t2
+            bx2 = TX2 + 2 * Wb
+            bx2 += (-bx2) % 8
+            options.append(((bx2 / TX2) * ((TY2 + 2 * WY) / TY2), TX2, TY2))
+        _, TX, TY = min(options)
+        if TY is None:
+            TY, Wy, nty = nyp, 0, 1
         else:
-            TX, TY = _pick_tiles_2d(Nx, Ny, K, periodic_x, mult,
-                                    require_divide=not mx)
             Wy = WY
             y_ext = nyp if my else Ny
             nty = -(-y_ext // TY) if my else Ny // TY

@@ -492,3 +492,27 @@ def test_padded_fused_stress_function_matches_jnp():
         scale = vel_scale if name in ("u", "v") else max(np.abs(b).max(), 1e-8)
         assert np.abs(a - b).max() / scale < tol, \
             f"{name}: {np.abs(a - b).max() / scale}"
+
+
+def test_chunk_and_tile_planner():
+    """Adaptive substep chunking (any nsub with a divisor in [2, 15] is
+    fused-eligible — notably the reference production value 150 and small
+    test values like 8) and ratio-based slab/2-D layout competition (at
+    2048² a full-y slab only fits at TX = 64, redundancy ≈ 2.1; the planner
+    must prefer a 2-D tiling instead)."""
+    from climaseaice_jl_tpu.dynamics.pallas_evp_tiled import (
+        _plan_tiles, _block_x, pick_chunk, WY)
+
+    assert pick_chunk(120) == 15
+    assert pick_chunk(150) == 15
+    assert pick_chunk(8) == 8
+    assert pick_chunk(100) == 10
+    assert pick_chunk(97) is None  # prime > cap: caller falls back
+
+    for N in (1024, 2048, 4096, 8192):
+        plan = _plan_tiles(N, N, 15)
+        assert plan is not None, N
+        TX, TY, Wy = plan
+        assert N % TX == 0 and N % TY == 0
+        ratio = (_block_x(TX, 15) / TX) * ((TY + 2 * Wy) / TY)
+        assert ratio < 1.6, f"{N}: redundancy {ratio}"

@@ -34,17 +34,22 @@ def main():
     N = int(os.environ.get("N", 4096))
     bounded = os.environ.get("BOUNDED", "0") == "1"
     model, state = build(N, bounded=bounded)
+    tier = tier_of(model)
     t_full = timeit(model, state)
-    # momentum only: no thermo, no advection
+    # momentum only: no thermo, no advection (fresh state: timeit donates)
+    model, state = build(N, bounded=bounded)
     m2 = model.evolve(ice_thermodynamics=None, snow_thermodynamics=None,
                       advection=None)
     t_mom = timeit(m2, state)
     # jnp momentum for comparison
-    m3 = m2.evolve(dynamics=m2.dynamics.evolve(
-        solver=m2.dynamics.solver.__class__(substeps=120, fused="never")))
+    model, state = build(N, bounded=bounded)
+    m3 = model.evolve(ice_thermodynamics=None, snow_thermodynamics=None,
+                      advection=None)
+    m3 = m3.evolve(dynamics=m3.dynamics.evolve(
+        solver=m3.dynamics.solver.__class__(substeps=120, fused="never")))
     t_jnp = timeit(m3, state, steps=3)
     pts = N * N
-    print(f"N={N} bounded={bounded} tier={tier_of(model)}")
+    print(f"N={N} bounded={bounded} tier={tier}")
     print(f"full step:      {t_full*1e3:8.1f} ms  ({pts/t_full/1e6:6.2f}M pts/s)")
     print(f"momentum only:  {t_mom*1e3:8.1f} ms  ({pts/t_mom/1e6:6.2f}M pts/s)")
     print(f"adv+thermo:     {(t_full-t_mom)*1e3:8.1f} ms")
