@@ -50,7 +50,7 @@ class SlabOcean:
 @pytree_dataclass
 class IceOceanModel:
     ice: object = None        # SeaIceModel (its bottom_heat_flux is overridden)
-    ocean: SlabOcean = None
+    ocean: SlabOcean = None   # SlabOcean or ocean.ShallowWaterOcean
 
 
 @pytree_dataclass
@@ -60,18 +60,29 @@ class IceOceanState:
     S_ocean: object = None
     prev_h: object = None     # previous hℵ-thickness for the salinity flux
     Q_bottom: object = None   # ice-ocean heat flux handed to the ice step
+    u_ocean: object = None    # dynamical-ocean prognostics (fc/cf/cc);
+    v_ocean: object = None    # None with a SlabOcean
+    eta: object = None
     clock: Clock = None
 
 
-def initial_state(iom: IceOceanModel, T_ocean=-1.0, S_ocean=30.0, **ice_kwargs):
+def initial_state(iom: IceOceanModel, T_ocean=-1.0, S_ocean=30.0,
+                  u_ocean=None, v_ocean=None, eta=None, **ice_kwargs):
+    from .ocean import ShallowWaterOcean
     grid = iom.ice.grid
     ice_state = _ice_initial_state(iom.ice, **ice_kwargs)
+    dynamic = isinstance(iom.ocean, ShallowWaterOcean)
+
+    def vel(x):
+        return grid.field_from(x if x is not None else 0.0) if dynamic else None
+
     return IceOceanState(
         ice=ice_state,
         T_ocean=grid.field_from(T_ocean),
         S_ocean=grid.field_from(S_ocean),
         prev_h=ice_state.h,
         Q_bottom=grid.new_field(),
+        u_ocean=vel(u_ocean), v_ocean=vel(v_ocean), eta=vel(eta),
         clock=ice_state.clock,
     )
 
@@ -105,12 +116,29 @@ def _air_sea_flux(iom, T, a):
 
 
 def _coupled_step(iom: IceOceanModel, cstate: IceOceanState, dt):
+    from .ocean import (ShallowWaterOcean, shallow_water_substeps,
+                        advect_tracer, surface_stresses)
+    from .dynamics.stresses import SemiImplicitStress
+
     ocean = iom.ocean
     grid = iom.ice.grid
+    dynamic = isinstance(ocean, ShallowWaterOcean)
 
     # 1. ice step, with the bottom heat flux computed at the end of the
-    #    previous coupled step (reference order: ice first)
+    #    previous coupled step (reference order: ice first).  With a
+    #    dynamical ocean the ice's semi-implicit bottom drag sees the
+    #    *current* ocean velocities (`sea_ice_external_stress.jl:132-152`'s
+    #    refresh, done functionally).
     ice_model = iom.ice.evolve(bottom_heat_flux=cstate.Q_bottom)
+    if dynamic:
+        dyn = ice_model.dynamics
+        if dyn is not None and isinstance(dyn.bottom_momentum_stress,
+                                          SemiImplicitStress):
+            bstress = dyn.bottom_momentum_stress.evolve(
+                ue=cstate.u_ocean, ve=cstate.v_ocean,
+                rho_e=ocean.density, Cd=ocean.ice_ocean_drag)
+            ice_model = ice_model.evolve(
+                dynamics=dyn.evolve(bottom_momentum_stress=bstress))
     ice_state = _ice_step(ice_model, cstate.ice, dt)
 
     h = ice_state.h
@@ -135,8 +163,21 @@ def _coupled_step(iom: IceOceanModel, cstate: IceOceanState, dt):
     T = T + dt * ocean.temperature_restoring_rate * (
         ocean.temperature_restoring_target - T)
 
+    # 5. dynamical-ocean step: momentum+continuity substeps under the
+    #    wind/ice-stress partition, then tracer advection by the new flow
+    u_o, v_o, eta = cstate.u_ocean, cstate.v_ocean, cstate.eta
+    if dynamic:
+        tau_u, tau_v = surface_stresses(grid, ocean, ice_state.u, ice_state.v,
+                                        a, u_o, v_o)
+        u_o, v_o, eta = shallow_water_substeps(grid, ocean, u_o, v_o, eta,
+                                               tau_u, tau_v, dt)
+        masks = (iom.ice.masks.per_fc, iom.ice.masks.per_cf)
+        T = advect_tracer(grid, ocean, u_o, v_o, T, dt, masks=masks)
+        S = advect_tracer(grid, ocean, u_o, v_o, S, dt, masks=masks)
+
     return IceOceanState(ice=ice_state, T_ocean=T, S_ocean=S,
                          prev_h=V, Q_bottom=Q_bottom,
+                         u_ocean=u_o, v_ocean=v_o, eta=eta,
                          clock=ice_state.clock)
 
 

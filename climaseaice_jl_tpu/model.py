@@ -420,15 +420,32 @@ RK3_FRACTIONS = (1.0 / 3.0, 1.0 / 2.0, 1.0)
 
 def rk3_step(model, state, dt):
     """Low-storage split RK3 (`src/sea_ice_rk_substep.jl`): cache Ψ⁻, then three
-    substeps each re-based on Ψ⁻ with Δτ = Δt/3, Δt/2, Δt."""
+    substeps each re-based on Ψ⁻ with Δτ = Δt/3, Δt/2, Δt.
+
+    The three stages are identical up to the fraction, so on large grids they
+    run as one ``lax.scan`` over the fractions: XLA compiles the stage *once*
+    instead of inlining three copies — measured 13 min → 35 s one-time
+    compile at 2048² bounded (tiled-padded EVP), with slightly *better*
+    steady-state throughput, identical math.  Small grids (< 256²) unroll:
+    three inlined copies compile instantly there, and the eager-mode
+    (unjitted) scan compile hangs XLA CPU on degenerate 0-D/1-D shapes."""
     psi = state  # cached Ψ⁻ (cache_current_fields!)
-    for frac in RK3_FRACTIONS:
+
+    def stage(s, frac):
         dtau = dt * frac
-        G = tracer_tendencies(model, state)
-        state = momentum_step(model, state, dtau, u_prev=psi.u, v_prev=psi.v)
-        state = dynamic_step_tracers(model, state, G, dtau, base=psi)
-        state = thermodynamic_step(model, state, dtau)
-        state = update_state(model, state)
+        G = tracer_tendencies(model, s)
+        s = momentum_step(model, s, dtau, u_prev=psi.u, v_prev=psi.v)
+        s = dynamic_step_tracers(model, s, G, dtau, base=psi)
+        s = thermodynamic_step(model, s, dtau)
+        s = update_state(model, s)
+        return s, None
+
+    if model.grid.Nx * model.grid.Ny < 65536:
+        for frac in RK3_FRACTIONS:
+            state, _ = stage(state, jnp.asarray(frac, model.grid.np_dtype))
+    else:
+        fracs = jnp.asarray(RK3_FRACTIONS, dtype=model.grid.np_dtype)
+        state, _ = jax.lax.scan(stage, state, fracs)
     state = _tick(state, dt)
     return state
 

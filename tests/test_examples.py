@@ -97,3 +97,23 @@ def test_lake_short():
     assert np.isfinite(h).all()
     # coldest column cools the lake fastest
     assert TL[0] <= TL[-1]
+
+
+def test_melting_over_dynamic_ocean_short():
+    """Dynamical-ocean coupling example (`melting_baroclinicity.jl` analog):
+    the warm strip melts ice and the ocean develops currents."""
+    import melting_over_dynamic_ocean as ex
+    from climaseaice_jl_tpu import coupled as cp
+    iom, state = ex.build(N=32)
+    g = iom.ice.grid
+    h0 = np.asarray(g.interior(state.ice.h)).copy()
+    for _ in range(12):
+        state = cp.coupled_step(iom, state, 1200.0)
+    h = np.asarray(g.interior(state.ice.h))
+    uo = np.asarray(g.interior(state.u_ocean))
+    assert np.isfinite(h).all() and np.isfinite(uo).all()
+    mid = h[:, h.shape[1] // 2].mean()        # warm strip: basal melt
+    edge = h[:, 2].mean()
+    assert mid < h0[:, h0.shape[1] // 2].mean()
+    assert mid < edge
+    assert np.abs(uo).max() > 1e-5            # ocean responds
