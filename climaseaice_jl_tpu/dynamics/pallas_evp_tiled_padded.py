@@ -51,8 +51,13 @@ _VMEM_BUDGET = (VMEM_LIMIT_MB - 6) * 2 ** 20
 # 26 input blocks + 6 output blocks + ~25 block-sized temporaries
 # (anchor: (56, 1034) slab measured 17.49 MB scoped).  The ImmersedDrag
 # variant carries 4 more const blocks + per-face shift temporaries.
-_ARRAY_MULT = 77       # bx coefficient, drag-free
-_ARRAY_MULT_DRAG = 94  # bx coefficient with ImmersedDrag
+# bx coefficients of the affine occupancy model, calibrated on-device from
+# Mosaic's own "Used X of 128M vmem" reports (bounded walls-only 1024²,
+# K=15): drag-free TX=256 needs 149.5M (≈98·bx) — the old coefficient 77
+# admitted it and OOMed at compile.  95 rejects TX=256 and admits TX=192,
+# which fits even for the larger drag kernel (measured in the perf sweep).
+_ARRAY_MULT = 95       # bx coefficient, drag-free
+_ARRAY_MULT_DRAG = 94  # bx coefficient with ImmersedDrag (validated in runs)
 WY = 64           # y-overlap for 2-D tiles (lane-aligned, ≥ 2K+3)
 
 
