@@ -276,28 +276,29 @@ def _evp_kernel(nsub, params_ref,
         vD = (v + dtau * Gv) / (1 + dtau * tau_i)
         return vD * act_v
 
-    def body(i, carry):
+    # Substeps run in odd/even pairs with the alternating update order
+    # statically unrolled (odd substep: v then u; even: u then v) —
+    # bit-identical to the per-substep `lax.cond` dispatch it replaces but
+    # branch-free inside the hot loop (measured ~16 % of kernel time).
+    def one(carry, even):
         u, v, s11, s22, s12, alpha = carry
         s11, s22, s12, alpha = stresses(u, v, s11, s22, s12)
-        substep = i + 1
-
-        def even_order(uv):
-            u, v = uv
-            u2 = u_update(u, v, s11, s12, alpha)
-            v2 = v_update(u2, v, s22, s12, alpha)
-            return u2, v2
-
-        def odd_order(uv):
-            u, v = uv
-            v2 = v_update(u, v, s22, s12, alpha)
-            u2 = u_update(u, v2, s11, s12, alpha)
-            return u2, v2
-
-        u, v = lax.cond(substep % 2 == 0, even_order, odd_order, (u, v))
+        if even:
+            u = u_update(u, v, s11, s12, alpha)
+            v = v_update(u, v, s22, s12, alpha)
+        else:
+            v = v_update(u, v, s22, s12, alpha)
+            u = u_update(u, v, s11, s12, alpha)
         return (u, v, s11, s22, s12, alpha)
 
+    def pair(j, carry):
+        return one(one(carry, False), True)
+
     init = (u_ref[:], v_ref[:], s11_ref[:], s22_ref[:], s12_ref[:], al_ref[:])
-    u, v, s11, s22, s12, alpha = lax.fori_loop(0, nsub, body, init)
+    carry = lax.fori_loop(0, nsub // 2, pair, init)
+    if nsub % 2:  # trailing odd substep
+        carry = one(carry, False)
+    u, v, s11, s22, s12, alpha = carry
 
     o_u_ref[:] = u
     o_v_ref[:] = v
@@ -356,11 +357,8 @@ def _evp_kernel_lean(nsub, params_ref,
     def iyc_(q):
         return 0.5 * (q + sm(q, 1))
 
-    def body(i, carry):
+    def substep_(guard, carry, even):
         u, v, s11, s22, s12, alpha = carry
-        # Spurious dependence on i defeats loop-invariant hoisting, which
-        # would otherwise re-materialize the derived fields as residents.
-        guard = jnp.where(i < 0, jnp.float32(1), jnp.float32(0))
         m = m_ref[:] + guard
         a = a_ref[:] + guard
         P = P_ref[:]
@@ -436,25 +434,27 @@ def _evp_kernel_lean(nsub, params_ref,
             dtau = dt / iyf_(alpha)
             return (v + dtau * Gv) / (1 + dtau * rC * speed * drag_v) * act_v
 
-        substep = i + 1
-
-        def even_order(uv):
-            u, v = uv
-            u2 = u_update(u, v)
-            v2 = v_update(u2, v)
-            return u2, v2
-
-        def odd_order(uv):
-            u, v = uv
-            v2 = v_update(u, v)
-            u2 = u_update(u, v2)
-            return u2, v2
-
-        u, v = lax.cond(substep % 2 == 0, even_order, odd_order, (u, v))
+        if even:
+            u = u_update(u, v)
+            v = v_update(u, v)
+        else:
+            v = v_update(u, v)
+            u = u_update(u, v)
         return (u, v, s11, s22, s12, alpha)
 
+    # Odd/even substep pairs with the alternating order statically unrolled
+    # (see _evp_kernel).  ``guard`` is a spurious dependence on the loop index
+    # that defeats loop-invariant hoisting of the derived fields, which would
+    # otherwise re-materialize them as VMEM residents across the whole loop.
+    def pair(j, carry):
+        guard = jnp.where(j < 0, jnp.float32(1), jnp.float32(0))
+        return substep_(guard, substep_(guard, carry, False), True)
+
     init = (u_ref[:], v_ref[:], s11_ref[:], s22_ref[:], s12_ref[:], al_ref[:])
-    u, v, s11, s22, s12, alpha = lax.fori_loop(0, nsub, body, init)
+    carry = lax.fori_loop(0, nsub // 2, pair, init)
+    if nsub % 2:  # trailing odd substep
+        carry = substep_(jnp.float32(0), carry, False)
+    u, v, s11, s22, s12, alpha = carry
 
     o_u_ref[:] = u
     o_v_ref[:] = v

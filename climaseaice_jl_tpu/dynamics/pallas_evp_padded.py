@@ -298,29 +298,30 @@ def _padded_kernel(nsub, fill_fc, fill_cf, has_drag, params_ref, *refs):
         v_new = (v + dtau * Gv) / (1 + dtau * rC * speed * drag_v) * act_v
         return fill_cf(v_new)
 
-    def body(i, carry):
+    # Substeps run in odd/even pairs with the Oceananigans-alternating
+    # update order (odd substep: v then u; even: u then v) statically
+    # unrolled — bit-identical to the per-substep `lax.cond` dispatch it
+    # replaces, but branch-free inside the hot loop.
+    def pair(j, carry):
         u, v, s11, s22, s12, alpha = carry
-        s11, s22, s12, alpha = stresses(u, v, s11, s22, s12)
-        substep = i + 1
-
-        def even_order(uv):
-            u, v = uv
-            u2 = u_update(u, v, s11, s12, alpha)
-            v2 = v_update(u2, v, s22, s12, alpha)
-            return u2, v2
-
-        def odd_order(uv):
-            u, v = uv
-            v2 = v_update(u, v, s22, s12, alpha)
-            u2 = u_update(u, v2, s11, s12, alpha)
-            return u2, v2
-
-        u, v = lax.cond(substep % 2 == 0, even_order, odd_order, (u, v))
+        s11, s22, s12, alpha = stresses(u, v, s11, s22, s12)  # substep 2j+1
+        v = v_update(u, v, s22, s12, alpha)
+        u = u_update(u, v, s11, s12, alpha)
+        s11, s22, s12, alpha = stresses(u, v, s11, s22, s12)  # substep 2j+2
+        u = u_update(u, v, s11, s12, alpha)
+        v = v_update(u, v, s22, s12, alpha)
         return (u, v, s11, s22, s12, alpha)
 
     init = (fill_fc(u_ref[:]), fill_cf(v_ref[:]),
             s11_ref[:], s22_ref[:], s12_ref[:], al_ref[:])
-    u, v, s11, s22, s12, alpha = lax.fori_loop(0, nsub, body, init)
+    carry = lax.fori_loop(0, nsub // 2, pair, init)
+    if nsub % 2:  # trailing odd substep
+        u, v, s11, s22, s12, alpha = carry
+        s11, s22, s12, alpha = stresses(u, v, s11, s22, s12)
+        v = v_update(u, v, s22, s12, alpha)
+        u = u_update(u, v, s11, s12, alpha)
+        carry = (u, v, s11, s22, s12, alpha)
+    u, v, s11, s22, s12, alpha = carry
 
     o_u_ref[:] = u
     o_v_ref[:] = v

@@ -40,7 +40,6 @@ from .pallas_evp import (_P_DT, _P_DX, _P_DY, _P_F, _P_TAUU, _P_TAUV, _P_RC,
                          _P_DMIN, _P_MASSMIN, _P_CONCMIN, _P_REPL,
                          VMEM_LIMIT_MB, vmem_compiler_params)
 
-_P_PARITY = 17  # spare params slot: global substep offset of the chunk
 
 CHUNK_SUBSTEPS = 15          # K cap: max substeps per chunk (see pick_chunk)
 
@@ -138,7 +137,7 @@ def _pick_tiles_2d(N, ny, K):
     return best[1], best[2]
 
 
-def _tiled_kernel(K, TX, W, TY, Wy, params_ref,
+def _tiled_kernel(K, TX, W, TY, Wy, base_even, params_ref,
                   m_ref, a_ref, P_ref, un_ref, vn_ref,
                   u_ref, v_ref, s11_ref, s22_ref, s12_ref, al_ref,
                   o_u_ref, o_v_ref, o_s11_ref, o_s22_ref, o_s12_ref, o_al_ref):
@@ -163,7 +162,6 @@ def _tiled_kernel(K, TX, W, TY, Wy, params_ref,
     mass_min = p[_P_MASSMIN]
     conc_min = p[_P_CONCMIN]
     repl = p[_P_REPL]
-    base = p[_P_PARITY]
 
     roll = pltpu.roll
 
@@ -215,7 +213,7 @@ def _tiled_kernel(K, TX, W, TY, Wy, params_ref,
     gcc = jnp.where(ok_cc, c_alpha * dt * inv_az / jnp.where(ok_cc, m, 1.0), -1.0)
     gff = jnp.where(ok_ff, c_alpha * dt * inv_az / jnp.where(ok_ff, m_ff, 1.0), -1.0)
 
-    def body(i, carry):
+    def substep_(carry, even):
         u, v, s11, s22, s12, alpha = carry
 
         e11 = (sm(u, 0) - u) * inv_dx
@@ -268,26 +266,31 @@ def _tiled_kernel(K, TX, W, TY, Wy, params_ref,
             dtau = dt / iyf_(alpha)
             return (v + dtau * Gv) / (1 + dtau * rC * speed * drag_v) * act_v
 
-        substep = base + (i + 1).astype(jnp.float32)
-
-        def even_order(uv):
-            u, v = uv
-            u2 = u_update(u, v)
-            v2 = v_update(u2, v)
-            return u2, v2
-
-        def odd_order(uv):
-            u, v = uv
-            v2 = v_update(u, v)
-            u2 = u_update(u, v2)
-            return u2, v2
-
-        is_even = jnp.mod(substep, 2.0) < 0.5
-        u, v = lax.cond(is_even, even_order, odd_order, (u, v))
+        if even:
+            u = u_update(u, v)
+            v = v_update(u, v)
+        else:
+            v = v_update(u, v)
+            u = u_update(u, v)
         return (u, v, s11, s22, s12, alpha)
 
+    # The kernel is compiled per static chunk-base parity (``base_even``), so
+    # every substep's Oceananigans-alternating update order (odd substep:
+    # v then u; even: u then v) is statically known — run odd/even pairs with
+    # the order unrolled, branch-free (bit-identical to the per-substep
+    # `lax.cond` dispatch it replaces; measured ~16 % of kernel time).
+    # Substep numbers in this chunk are base+1 … base+K, so the first (and,
+    # for odd K, the trailing) substep is even iff the base is odd.
+    first_even = not base_even
+
+    def pair(j, carry):
+        return substep_(substep_(carry, first_even), not first_even)
+
     init = (u_ref[:], v_ref[:], s11_ref[:], s22_ref[:], s12_ref[:], al_ref[:])
-    u, v, s11, s22, s12, alpha = lax.fori_loop(0, K, body, init)
+    carry = lax.fori_loop(0, K // 2, pair, init)
+    if K % 2:  # trailing substep of an odd-length chunk
+        carry = substep_(carry, first_even)
+    u, v, s11, s22, s12, alpha = carry
 
     sl = slice(W, W + TX)
     sy = slice(Wy, Wy + TY)
@@ -338,7 +341,6 @@ def tiled_chunked_evp(nsub, params, m, a, P, un, vn,
         W += 1
     n_chunks = nsub // K
 
-    kernel = functools.partial(_tiled_kernel, K, TX, W, TY, Wy)
     blk_in = pl.BlockSpec((TX + 2 * W, TY + 2 * Wy), lambda i, j: (i, j),
                           memory_space=pltpu.VMEM)
     blk_out = pl.BlockSpec((TX, TY), lambda i, j: (i, j),
@@ -347,9 +349,9 @@ def tiled_chunked_evp(nsub, params, m, a, P, un, vn,
     const_slabs = [_slabs(q, n_tiles, TX, W, nty, TY, Wy)
                    for q in (m, a, P, un, vn)]
 
-    def chunk(carry, k_chunk):
+    def run_chunk(base_even, carry):
         u, v, s11, s22, s12, alpha = carry
-        params_c = params.at[_P_PARITY].set((k_chunk * K).astype(jnp.float32))
+        kernel = functools.partial(_tiled_kernel, K, TX, W, TY, Wy, base_even)
         carry_slabs = [_slabs(q, n_tiles, TX, W, nty, TY, Wy)
                        for q in (u, v, s11, s22, s12, alpha)]
         outs = pl.pallas_call(
@@ -361,9 +363,25 @@ def tiled_chunked_evp(nsub, params, m, a, P, un, vn,
             out_specs=[blk_out] * 6,
             interpret=interpret,
             **vmem_compiler_params(interpret),
-        )(params_c, *const_slabs, *carry_slabs)
-        return tuple(outs), None
+        )(params, *const_slabs, *carry_slabs)
+        return tuple(outs)
 
+    # Chunk k covers substeps k·K+1 … (k+1)·K; the kernel bakes the base
+    # parity in statically (branch-free substep order).  Even K: every base
+    # is even — one kernel, scanned.  Odd K: base parity alternates per
+    # chunk — scan even/odd chunk *pairs* (two compiled variants), plus a
+    # trailing even-base chunk when the chunk count is odd.
     carry = (u, v, s11, s22, s12, alpha)
-    carry, _ = lax.scan(chunk, carry, jnp.arange(n_chunks))
+    if K % 2 == 0:
+        def chunk(carry, _):
+            return run_chunk(True, carry), None
+
+        carry, _ = lax.scan(chunk, carry, None, length=n_chunks)
+    else:
+        def chunk2(carry, _):
+            return run_chunk(False, run_chunk(True, carry)), None
+
+        carry, _ = lax.scan(chunk2, carry, None, length=n_chunks // 2)
+        if n_chunks % 2:
+            carry = run_chunk(True, carry)
     return carry

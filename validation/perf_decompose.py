@@ -22,11 +22,14 @@ def timeit(model, state, steps=10, dt=120.0):
     from climaseaice_jl_tpu.model import _step
     step = jax.jit(lambda s, dt: _step(model, s, dt), donate_argnums=(0,))
     state = step(state, dt)
-    jax.block_until_ready(state.h)
+    # block on u, not h: momentum-only configs never touch h, whose donated
+    # buffer aliases straight through and becomes ready before the EVP kernel
+    # finishes
+    jax.block_until_ready(state.u)
     t0 = time.perf_counter()
     for _ in range(steps):
         state = step(state, dt)
-    jax.block_until_ready(state.h)
+    jax.block_until_ready(state.u)
     return (time.perf_counter() - t0) / steps
 
 
