@@ -499,7 +499,11 @@ def tiled_padded_momentum_step(model, state, dt, u_start, v_start,
         if TXs is not None:
             bxs = TXs + 2 * Wb
             bxs += (-bxs) % 8
-            options.append(((bxs / TXs) * (nyp / Ny), TXs, None))
+            # Mosaic pads the lane (y) dimension of each block to a multiple
+            # of 128: a full-y slab carries ceil(nyp/128)*128 lanes, not nyp
+            # (e.g. 1034 -> 1152, +11% real work the unpadded ratio hides).
+            ny_eff = -(-nyp // 128) * 128
+            options.append(((bxs / TXs) * (ny_eff / Ny), TXs, None))
         t2 = _pick_tiles_2d(Nx, Ny, K, periodic_x, mult,
                             require_divide=not mx)
         if t2 is not None:
