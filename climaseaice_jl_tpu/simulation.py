@@ -89,26 +89,34 @@ class Simulation:
     def run(self, pickup=None, profile_dir=None):
         """Run to the stop condition.
 
-        ``pickup``: a checkpoint path, or True to resume from the latest
-        checkpoint of a registered Checkpointer (`run!(sim, pickup=…)`
-        analog).  ``profile_dir``: wrap the loop in a `jax.profiler.trace`
-        writing a TensorBoard-compatible device trace there (the profiling
-        instrumentation the reference lacks; SURVEY.md §5).
+        ``pickup``: a checkpoint path, True to resume from the latest
+        checkpoint of a registered Checkpointer, or an iteration number to
+        resume from that specific checkpoint (`run!(sim, pickup=…)` analog,
+        `test/test_checkpointing.jl:104`).  ``profile_dir``: wrap the loop in
+        a `jax.profiler.trace` writing a TensorBoard-compatible device trace
+        there (the profiling instrumentation the reference lacks;
+        SURVEY.md §5).
         """
         if profile_dir is not None:
             with jax.profiler.trace(profile_dir):
                 return self.run(pickup=pickup, profile_dir=None)
-        if pickup:
+        if pickup is not None and pickup is not False:
             from .io.checkpoint import restore_state, Checkpointer
             path = pickup
-            if pickup is True:
-                for w in self.output_writers.values():
-                    if isinstance(w, Checkpointer):
-                        path = w.latest()
-                        break
-                if path is True or path is None:
-                    raise ValueError("pickup=True requires a Checkpointer "
-                                     "output writer with existing checkpoints")
+            if pickup is True or isinstance(pickup, int):
+                ckp = next((w for w in self.output_writers.values()
+                            if isinstance(w, Checkpointer)), None)
+                if ckp is None:
+                    raise ValueError(
+                        f"pickup={pickup!r} requires a Checkpointer output "
+                        "writer")
+                if pickup is True:
+                    path = ckp.latest()
+                    if path is None:
+                        raise ValueError("pickup=True requires existing "
+                                         "checkpoints")
+                else:  # pickup by iteration number
+                    path = f"{ckp.prefix}_iteration{int(pickup)}.npz"
             self.state = restore_state(self.state, path)
 
         t0 = _time.perf_counter()

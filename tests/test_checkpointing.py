@@ -74,6 +74,37 @@ def test_checkpoint_bit_equality(name, timestepper, tmp_path):
     assert int(s_cont.clock.iteration) == int(fresh.clock.iteration)
 
 
+@pytest.mark.parametrize("pickup", [True, 4, "path"])
+def test_simulation_pickup_modes(pickup, tmp_path):
+    """`run(pickup=…)` accepts path / True (latest) / iteration number
+    (`test/test_checkpointing.jl:104`), each bit-identical to a straight run."""
+    from climaseaice_jl_tpu.simulation import Simulation, IterationInterval
+    from climaseaice_jl_tpu.io.checkpoint import Checkpointer
+
+    make = _configs()["dynamics"]
+    model, state, dt = make()
+
+    sim = Simulation(model, state, dt, stop_iteration=8)
+    prefix = str(tmp_path / "chk")
+    sim.output_writers["ckp"] = Checkpointer(prefix, IterationInterval(2))
+    sim.run()
+    s_cont = sim.state
+
+    # resume from iteration 4 (True resolves to the latest written ckpt at 8;
+    # use an explicit earlier stop for that mode to make it meaningful)
+    _, fresh, _ = make()
+    sim2 = Simulation(model, fresh, dt, stop_iteration=8)
+    sim2.output_writers["ckp"] = Checkpointer(prefix, IterationInterval(10**9))
+    arg = {"path": f"{prefix}_iteration4.npz", True: True, 4: 4}[pickup]
+    sim2.run(pickup=arg)
+    assert int(sim2.state.clock.iteration) == 8
+    for field in ("h", "u", "v", "sig11"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s_cont, field)),
+            np.asarray(getattr(sim2.state, field)),
+            err_msg=f"{field} not bit-identical after pickup={pickup!r}")
+
+
 def test_checkpoint_roundtrip_exact(tmp_path):
     grid = csi.RectilinearGrid(size=(4, 4))
     model = csi.sea_ice_model(grid)
