@@ -44,8 +44,9 @@ _VMEM_BUDGET = (VMEM_LIMIT_MB - 6) * 2 ** 20
 # Affine Mosaic occupancy: the padded kernel's 34 (46 with drag) plus the 12
 # metric const blocks (double-buffered) and the strain/divergence temporaries
 # the uniform-metric kernel didn't need.
-_MULT = 70
-_MULT_DRAG = 84
+_MULT = 110
+_MULT_DRAG = 130   # measured 120·array at (586, 490) with ImmersedDrag
+                   # (142.03M scoped incl. 85.95M register spill), r3
 
 
 def curvilinear_fused_available(model):
@@ -496,16 +497,27 @@ def _prepare_curvilinear_inputs(model, state, dt, u_start, v_start):
     def _arr(x):
         return jnp.broadcast_to(_f32(x), grid.shape)
 
+    def _fold_vec(q, comp):
+        # Zipper sign flip on external vector components (see
+        # stresses._vec_value; keeps kernel and jnp paths consistent at the
+        # seam-adjacent rows whose interps read the first fold-halo row)
+        if not (grid.north_fold and grid.Hy > 0):
+            return q
+        from ..fields import _maybe_fold
+        return _maybe_fold(q, grid, comp == "u", comp != "u", -1.0)
+
     top = dyn.top_momentum_stress
     if isinstance(top, dict):
         tau_u_top, tau_v_top = _arr(top.get("u")), _arr(top.get("v"))
     else:
         tau_u_top = _arr(top)
         tau_v_top = tau_u_top
+    tau_u_top = _fold_vec(tau_u_top, "u")
+    tau_v_top = _fold_vec(tau_v_top, "v")
     bottom = dyn.bottom_momentum_stress
     if isinstance(bottom, SemiImplicitStress):
         rC = jnp.asarray(bottom.rho_e * bottom.Cd, jnp.float32)
-        ue, ve = _arr(bottom.ue), _arr(bottom.ve)
+        ue, ve = _fold_vec(_arr(bottom.ue), "u"), _fold_vec(_arr(bottom.ve), "v")
     else:
         rC = jnp.zeros((), jnp.float32)
         ue = ve = jnp.zeros(grid.shape, jnp.float32)

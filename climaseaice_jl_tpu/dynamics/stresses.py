@@ -75,17 +75,34 @@ def _value(x, grid, clock, fields):
     return jnp.asarray(x, grid.np_dtype)
 
 
+def _vec_value(x, grid, clock, fields, comp):
+    """Resolve a *vector-component* stress ingredient (τ component or
+    external fluid velocity).  On north-folded grids, impose the Zipper
+    sign flip on the fold halo: the reference materializes external
+    stresses as Fields whose default BCs carry the sign-flipped Zipper fold
+    (`src/sea_ice_model.jl:57-64`, `sea_ice_external_stress.jl:63-78`), so
+    stencils interpolating across the seam see the mirrored, sign-flipped
+    vector component — not the raw broadcast value."""
+    v = _value(x, grid, clock, fields)
+    if grid.north_fold and grid.Hy > 0:
+        from ..fields import _maybe_fold
+        v = jnp.broadcast_to(v, grid.shape)
+        xface = comp == "u"
+        v = _maybe_fold(v, grid, xface, not xface, -1.0)
+    return v
+
+
 def explicit_tau_x(grid, stress, clock, fields):
     stress = _component(stress, "u")
     if stress is None:
         return jnp.zeros(grid.shape, grid.np_dtype)
     if isinstance(stress, SemiImplicitStress):
-        ue = _value(stress.ue, grid, clock, fields)
-        ve = _value(stress.ve, grid, clock, fields)
+        ue = _vec_value(stress.ue, grid, clock, fields, "u")
+        ve = _vec_value(stress.ve, grid, clock, fields, "v")
         du = ue - fields.u
         dv = ixy_fc_of_cf(jnp.broadcast_to(ve, grid.shape)) - ixy_fc_of_cf(fields.v)
         return stress.rho_e * stress.Cd * jnp.sqrt(du ** 2 + dv ** 2) * ue
-    return _value(stress, grid, clock, fields)
+    return _vec_value(stress, grid, clock, fields, "u")
 
 
 def explicit_tau_y(grid, stress, clock, fields):
@@ -93,19 +110,19 @@ def explicit_tau_y(grid, stress, clock, fields):
     if stress is None:
         return jnp.zeros(grid.shape, grid.np_dtype)
     if isinstance(stress, SemiImplicitStress):
-        ue = _value(stress.ue, grid, clock, fields)
-        ve = _value(stress.ve, grid, clock, fields)
+        ue = _vec_value(stress.ue, grid, clock, fields, "u")
+        ve = _vec_value(stress.ve, grid, clock, fields, "v")
         dv = ve - fields.v
         du = ixy_cf_of_fc(jnp.broadcast_to(ue, grid.shape)) - ixy_cf_of_fc(fields.u)
         return stress.rho_e * stress.Cd * jnp.sqrt(du ** 2 + dv ** 2) * ve
-    return _value(stress, grid, clock, fields)
+    return _vec_value(stress, grid, clock, fields, "v")
 
 
 def implicit_tau_x_coefficient(grid, stress, clock, fields):
     stress = _component(stress, "u")
     if isinstance(stress, SemiImplicitStress):
-        ue = _value(stress.ue, grid, clock, fields)
-        ve = _value(stress.ve, grid, clock, fields)
+        ue = _vec_value(stress.ue, grid, clock, fields, "u")
+        ve = _vec_value(stress.ve, grid, clock, fields, "v")
         du = ue - fields.u
         dv = ixy_fc_of_cf(jnp.broadcast_to(ve, grid.shape)) - ixy_fc_of_cf(fields.v)
         return stress.rho_e * stress.Cd * jnp.sqrt(du ** 2 + dv ** 2)
@@ -115,8 +132,8 @@ def implicit_tau_x_coefficient(grid, stress, clock, fields):
 def implicit_tau_y_coefficient(grid, stress, clock, fields):
     stress = _component(stress, "v")
     if isinstance(stress, SemiImplicitStress):
-        ue = _value(stress.ue, grid, clock, fields)
-        ve = _value(stress.ve, grid, clock, fields)
+        ue = _vec_value(stress.ue, grid, clock, fields, "u")
+        ve = _vec_value(stress.ve, grid, clock, fields, "v")
         dv = ve - fields.v
         du = ixy_cf_of_fc(jnp.broadcast_to(ue, grid.shape)) - ixy_cf_of_fc(fields.u)
         return stress.rho_e * stress.Cd * jnp.sqrt(du ** 2 + dv ** 2)
@@ -127,8 +144,8 @@ def x_momentum_stress(grid, stress, clock, fields):
     """Total x-stress τₓ = explicit − implicit·u (`sea_ice_external_stress.jl:33-37,162-167`)."""
     s = _component(stress, "u")
     if isinstance(s, SemiImplicitStress):
-        ue = _value(s.ue, grid, clock, fields)
-        ve = _value(s.ve, grid, clock, fields)
+        ue = _vec_value(s.ue, grid, clock, fields, "u")
+        ve = _vec_value(s.ve, grid, clock, fields, "v")
         du = ue - fields.u
         dv = ixy_fc_of_cf(jnp.broadcast_to(ve, grid.shape)) - ixy_fc_of_cf(fields.v)
         return s.rho_e * s.Cd * jnp.sqrt(du ** 2 + dv ** 2) * du
@@ -139,8 +156,8 @@ def x_momentum_stress(grid, stress, clock, fields):
 def y_momentum_stress(grid, stress, clock, fields):
     s = _component(stress, "v")
     if isinstance(s, SemiImplicitStress):
-        ue = _value(s.ue, grid, clock, fields)
-        ve = _value(s.ve, grid, clock, fields)
+        ue = _vec_value(s.ue, grid, clock, fields, "u")
+        ve = _vec_value(s.ve, grid, clock, fields, "v")
         dv = ve - fields.v
         du = ixy_cf_of_fc(jnp.broadcast_to(ue, grid.shape)) - ixy_cf_of_fc(fields.u)
         return s.rho_e * s.Cd * jnp.sqrt(du ** 2 + dv ** 2) * dv

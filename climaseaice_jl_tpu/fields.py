@@ -320,6 +320,19 @@ def fill_halos_cf_local(q, grid: Grid):
     return _maybe_fold_local(q, grid, False, True, -1.0)
 
 
+def fill_halos_cc_local(q, grid: Grid):
+    """Local-only cc fill (σ11/σ22/α refresh between exchange-free substep
+    chunks; scalars fold with sign +1)."""
+    q = _fill_y_local(_fill_x_local(q, grid, False), grid, False)
+    return _maybe_fold_local(q, grid, False, False, 1.0)
+
+
+def fill_halos_ff_local(q, grid: Grid):
+    """Local-only ff fill (σ12; sign +1 under the fold)."""
+    q = _fill_y_local(_fill_x_local(q, grid, True), grid, True)
+    return _maybe_fold_local(q, grid, True, True, 1.0)
+
+
 # --- peripheral / immersed masks --------------------------------------------
 
 def _solid_base(grid: Grid):

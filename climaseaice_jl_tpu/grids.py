@@ -307,6 +307,43 @@ def _gc_dist(lam1, phi1, lam2, phi2, radius):
     return 2 * radius * np.arcsin(np.minimum(1.0, np.sqrt(s)))
 
 
+def _fold_metric_halo(full, Nx, Hx, Ny, Hy, xface, yface):
+    """Rewrite a padded metric array's north y-halo with exact fold images
+    (north_fold grids).  Metrics are scalars under the 180° fold rotation
+    (sign +1); the x-mirror follows the array's staggered location like
+    `fields._fill_y_fold`.  The y-face seam column is symmetrized
+    (0.5·(q + q_mirror)) so the seam row's update is exactly x-mirror
+    symmetric — required for the fold halo to *self-evolve* to exact mirror
+    values inside exchange-free substep chunks (pallas_evp_tiled_curvilinear).
+    Without this the y-halo keeps edge-clamped values, which match the fold
+    image only approximately (by the cap construction's symmetry)."""
+    if Hy == 0:
+        return full
+    p = np.arange(full.shape[0])
+    if xface:
+        src = ((Nx - (p - Hx)) % Nx) + Hx
+    else:
+        src = ((Nx - 1 - (p - Hx)) % Nx) + Hx
+    r = full[src, :]
+    if not yface:
+        for k in range(Hy):
+            full[:, Hy + Ny + k] = r[:, Hy + Ny - 1 - k]
+    else:
+        full[:, Hy + Ny] = 0.5 * (full[:, Hy + Ny] + r[:, Hy + Ny])
+        for k in range(1, Hy):
+            full[:, Hy + Ny + k] = full[src, Hy + Ny - k]
+    return full
+
+
+# staggered location (xface, yface) of each Grid metric-array field
+_METRIC_LOCS = {
+    "dx_cc": (False, False), "dy_cc": (False, False), "az_cc": (False, False),
+    "dx_fc": (True, False), "dy_fc": (True, False), "az_fc": (True, False),
+    "dx_cf": (False, True), "dy_cf": (False, True), "az_cf": (False, True),
+    "dx_ff": (True, True), "dy_ff": (True, True), "az_ff": (True, True),
+}
+
+
 def CurvilinearGrid(corner_longitude, corner_latitude,
                     topology=(PERIODIC, BOUNDED), halo=4, dtype="float64",
                     radius=EARTH_RADIUS, north_fold=False):
@@ -384,7 +421,9 @@ def CurvilinearGrid(corner_longitude, corner_latitude,
     def _pad(q_int, fc_x, fc_y):
         """Periodic/edge-extend an interior metric array into padded form.
         fc_x/fc_y: whether the array's first/second dim is face-located
-        (face arrays come in with Nx+1/Ny+1 entries; drop the duplicate)."""
+        (face arrays come in with Nx+1/Ny+1 entries; drop the duplicate).
+        On folded grids the north y-halo gets exact fold images instead of
+        the edge clamp (see `_fold_metric_halo`)."""
         q = q_int[:Nx, :Ny]
         full = np.empty((Nx + 2 * Hx, Ny + 2 * Hy))
         full[Hx:Hx + Nx, Hy:Hy + Ny] = q
@@ -398,6 +437,8 @@ def CurvilinearGrid(corner_longitude, corner_latitude,
         if Hy:
             full[:, :Hy] = full[:, Hy:Hy + 1]
             full[:, Hy + Ny:] = full[:, Hy + Ny - 1:Hy + Ny]
+            if north_fold:
+                full = _fold_metric_halo(full, Nx, Hx, Ny, Hy, fc_x, fc_y)
         return jnp.asarray(full, npdt)
 
     dx_cc_p = _pad(dx_cc, False, False)
@@ -499,8 +540,11 @@ def TripolarGrid(size, southernmost_latitude=-80.0, transition_latitude=62.0,
         lo, hi = 1e-3, 100.0
         for _ in range(200):
             g = 0.5 * (lo + hi)
-            tot = du0 * (Ny_cap if abs(g - 1) < 1e-12
-                         else (g ** Ny_cap - 1) / (g - 1))
+            # np.power: overflow at large Ny_cap yields inf (shrinks hi)
+            # instead of a Python-float OverflowError
+            with np.errstate(over="ignore"):
+                tot = du0 * (Ny_cap if abs(g - 1) < 1e-12
+                             else (np.power(g, float(Ny_cap)) - 1) / (g - 1))
             lo, hi = (g, hi) if tot < u_t else (lo, g)
         # a cap with few rows relative to its extent would need runaway
         # growth; bound the grading ratio and let the junction keep a
@@ -642,7 +686,7 @@ def _curvilinear_with_halo(grid: Grid, Hx, Hy):
     Nx, Ny = grid.Nx, grid.Ny
     npdt = grid.np_dtype
 
-    def repad(m):
+    def repad(m, fc_x=False, fc_y=False):
         q = np.asarray(grid.interior(m))
         full = np.empty((Nx + 2 * Hx, Ny + 2 * Hy))
         full[Hx:Hx + Nx, Hy:Hy + Ny] = q
@@ -656,6 +700,8 @@ def _curvilinear_with_halo(grid: Grid, Hx, Hy):
         if Hy:
             full[:, :Hy] = full[:, Hy:Hy + 1]
             full[:, Hy + Ny:] = full[:, Hy + Ny - 1:Hy + Ny]
+            if grid.north_fold:
+                full = _fold_metric_halo(full, Nx, Hx, Ny, Hy, fc_x, fc_y)
         return jnp.asarray(full, npdt)
 
     idx_x = np.arange(-Hx, Nx + Hx, dtype=float) + 0.5
@@ -666,12 +712,7 @@ def _curvilinear_with_halo(grid: Grid, Hx, Hy):
         Hx=Hx, Hy=Hy,
         xc=jnp.asarray(idx_x, npdt), xf=jnp.asarray(idx_xf, npdt),
         yc=jnp.asarray(idx_y, npdt), yf=jnp.asarray(idx_yf, npdt),
-        dx_cc=repad(grid.dx_cc), dx_fc=repad(grid.dx_fc),
-        dx_cf=repad(grid.dx_cf), dx_ff=repad(grid.dx_ff),
-        dy_cc=repad(grid.dy_cc), dy_fc=repad(grid.dy_fc),
-        dy_cf=repad(grid.dy_cf), dy_ff=repad(grid.dy_ff),
-        az_cc=repad(grid.az_cc), az_fc=repad(grid.az_fc),
-        az_cf=repad(grid.az_cf), az_ff=repad(grid.az_ff),
+        **{f: repad(getattr(grid, f), *_METRIC_LOCS[f]) for f in _METRIC_LOCS},
         lon_cc=None if grid.lon_cc is None else repad(grid.lon_cc),
         lat_cc=None if grid.lat_cc is None else repad(grid.lat_cc),
         solid_cc=None)

@@ -351,6 +351,15 @@ def momentum_step(model, state, dt, u_prev=None, v_prev=None):
                 upd = curvilinear_fused_momentum_step(
                     model, state, dt, u_start, v_start, interpret=not on_tpu)
                 return state.evolve(**upd)
+            # array-metric grids too large for the whole-array kernel, or
+            # meshed under wide-halo EVP: the tiled curvilinear tier
+            from .dynamics.pallas_evp_tiled_curvilinear import (
+                tiled_curvilinear_available, tiled_curvilinear_momentum_step)
+            if tiled_curvilinear_available(model) and (fused_mode == "always"
+                                                       or on_tpu):
+                upd = tiled_curvilinear_momentum_step(
+                    model, state, dt, u_start, v_start, interpret=not on_tpu)
+                return state.evolve(**upd)
             # fixed_tiles pins the tiled-padded kernel everywhere so serial
             # and distributed runs share one Mosaic compilation (see
             # SplitExplicitSolver.fixed_tiles)
