@@ -193,24 +193,39 @@ def _evp_kernel(nsub, params_ref,
     def iyc_(q):
         return 0.5 * (q + sm(q, 1))
 
+    # Transcendental-lean substep algebra (measured ~1.3× on a v5e — the
+    # loop is VPU-issue-bound, see validation/perf_kernel_surgery.py):
+    # 1/Δ via clamped rsqrt (ζ needs only the reciprocal), γ and 1/γ from one
+    # clamped γ² (γ = γ²·rsqrt(γ²), 1/γ = rsqrt(γ²) — no divides), the
+    # (t, d) strain pair interpolated to ff instead of (ϵ̇₁₁, ϵ̇₂₂) (one ixy
+    # saved), and the implicit update in 1/Δτ form (dτ-divide folded into
+    # the update's single divide).  All forms agree with the original to
+    # ulps per substep; physical configs are contracting so the loop-level
+    # agreement vs the jnp path stays at the tested 1e-4 level.
+    inv_dt = 1.0 / dt
+    inv_dmin = 1.0 / d_min
+    amin2 = a_min * a_min
+    amax2 = a_max * a_max
+    rsqrt = lax.rsqrt
+
     def stresses(u, v, s11, s22, s12):
         e11 = (sm(u, 0) - u) * inv_dx
         e22 = (sm(v, 1) - v) * inv_dy
         e12 = 0.5 * ((u - sp(u, 1)) * inv_dy + (v - sp(v, 0)) * inv_dx)
 
-        e11f = ixf_(iyf_(e11))
-        e22f = ixf_(iyf_(e22))
+        d_cc = e11 + e22
+        t_cc = e11 - e22
+        d_ff = ixf_(iyf_(d_cc))
+        t_ff = ixf_(iyf_(t_cc))
         e12c = ixc_(iyc_(e12))
 
-        d_cc = e11 + e22
-        d_ff = e11f + e22f
-        s_cc2 = (e11 - e22) ** 2 + 4 * e12c ** 2
-        s_ff2 = (e11f - e22f) ** 2 + 4 * e12 ** 2
-
-        Dcc = jnp.maximum(jnp.sqrt(d_cc ** 2 + s_cc2 * e_inv2), d_min)
-        Dff = jnp.maximum(jnp.sqrt(d_ff ** 2 + s_ff2 * e_inv2), d_min)
-        zcc = P / (2 * Dcc)
-        zff = Pff / (2 * Dff)
+        dd_cc = d_cc * d_cc + (t_cc * t_cc + 4 * e12c * e12c) * e_inv2
+        dd_ff = d_ff * d_ff + (t_ff * t_ff + 4 * e12 * e12) * e_inv2
+        rD_cc = jnp.minimum(rsqrt(dd_cc), inv_dmin)   # = 1/max(Δcc, Δmin)
+        rD_ff = jnp.minimum(rsqrt(dd_ff), inv_dmin)
+        Dcc = jnp.maximum(dd_cc * rD_cc, d_min)
+        zcc = 0.5 * P * rD_cc
+        zff = 0.5 * Pff * rD_ff
 
         Pr = jnp.where(repl > 0, P * Dcc / (Dcc + d_min), P)
 
@@ -222,20 +237,16 @@ def _evp_kernel(nsub, params_ref,
         s12_t = 2 * eta_ff * e12
 
         # dynamic relaxation γ = clamp(√(ζ·cαΔt/m/Az)), α⁺ where m ≤ 0
-        g2cc = zcc * gcc
-        g2ff = zff * gff
-        gamma_cc = jnp.where(gcc > 0,
-                             jnp.clip(jnp.sqrt(jnp.abs(g2cc)), a_min, a_max),
-                             a_max)
-        gamma_ff = jnp.where(gff > 0,
-                             jnp.clip(jnp.sqrt(jnp.abs(g2ff)), a_min, a_max),
-                             a_max)
-
+        g2cc = jnp.clip(zcc * gcc, amin2, amax2)
+        g2ff = jnp.clip(zff * gff, amin2, amax2)
+        rg_cc = rsqrt(g2cc)
+        rg_ff = rsqrt(g2ff)
         ok_cc = gcc > 0
         ok_ff = gff > 0
-        s11 = s11 + jnp.where(ok_cc, (s11_t - s11) / gamma_cc, 0.0)
-        s22 = s22 + jnp.where(ok_cc, (s22_t - s22) / gamma_cc, 0.0)
-        s12 = s12 + jnp.where(ok_ff, (s12_t - s12) / gamma_ff, 0.0)
+        gamma_cc = jnp.where(ok_cc, g2cc * rg_cc, a_max)
+        s11 = s11 + jnp.where(ok_cc, (s11_t - s11) * rg_cc, 0.0)
+        s22 = s22 + jnp.where(ok_cc, (s22_t - s22) * rg_cc, 0.0)
+        s12 = s12 + jnp.where(ok_ff, (s12_t - s12) * rg_ff, 0.0)
         return s11, s22, s12, gamma_cc
 
     def u_update(u, v, s11, s12, alpha):
@@ -251,10 +262,10 @@ def _evp_kernel(nsub, params_ref,
               - tau_u_top * drag_u
               + tau_bx * drag_u
               + div_x * invm_u
-              + (un - u) / dt)
+              + (un - u) * inv_dt)
         Gu = jnp.where(invm_u > 0, Gu, 0.0)
-        dtau = dt / ixf_(alpha)
-        uD = (u + dtau * Gu) / (1 + dtau * tau_i)
+        idtau = ixf_(alpha) * inv_dt       # 1/Δτ
+        uD = (u * idtau + Gu) / (idtau + tau_i)
         return uD * act_u
 
     def v_update(u, v, s22, s12, alpha):
@@ -270,10 +281,10 @@ def _evp_kernel(nsub, params_ref,
               - tau_v_top * drag_v
               + tau_by * drag_v
               + div_y * invm_v
-              + (vn - v) / dt)
+              + (vn - v) * inv_dt)
         Gv = jnp.where(invm_v > 0, Gv, 0.0)
-        dtau = dt / iyf_(alpha)
-        vD = (v + dtau * Gv) / (1 + dtau * tau_i)
+        idtau = iyf_(alpha) * inv_dt
+        vD = (v * idtau + Gv) / (idtau + tau_i)
         return vD * act_v
 
     # Substeps run in odd/even pairs with the alternating update order
@@ -298,162 +309,6 @@ def _evp_kernel(nsub, params_ref,
     carry = lax.fori_loop(0, nsub // 2, pair, init)
     if nsub % 2:  # trailing odd substep
         carry = one(carry, False)
-    u, v, s11, s22, s12, alpha = carry
-
-    o_u_ref[:] = u
-    o_v_ref[:] = v
-    o_s11_ref[:] = s11
-    o_s22_ref[:] = s22
-    o_s12_ref[:] = s12
-    o_al_ref[:] = alpha
-
-
-def _evp_kernel_lean(nsub, params_ref,
-                     m_ref, a_ref, P_ref, un_ref, vn_ref,
-                     u_ref, v_ref, s11_ref, s22_ref, s12_ref, al_ref,
-                     o_u_ref, o_v_ref, o_s11_ref, o_s22_ref, o_s12_ref, o_al_ref):
-    """Lean variant for larger grids: only (m, a, P, uⁿ, vⁿ) + the 6-array
-    carry stay VMEM-resident; the derived drag/mask/γ-coefficient fields are
-    recomputed inside each substep.  Cuts resident VMEM from 18 to 11 arrays
-    (≈12 MB at 512² f32), trading ~15 extra cheap VPU passes per substep —
-    the loop is compute-bound in VMEM anyway."""
-    p = params_ref
-    dt = p[_P_DT]
-    inv_dx = 1.0 / p[_P_DX]
-    inv_dy = 1.0 / p[_P_DY]
-    inv_az = inv_dx * inv_dy
-    f_cor = p[_P_F]
-    tau_u_top = p[_P_TAUU]
-    tau_v_top = p[_P_TAUV]
-    rC = p[_P_RC]
-    ue = p[_P_UE]
-    ve = p[_P_VE]
-    e_inv2 = p[_P_EINV2]
-    a_min = p[_P_AMIN]
-    a_max = p[_P_AMAX]
-    c_alpha = p[_P_CALPHA]
-    d_min = p[_P_DMIN]
-    mass_min = p[_P_MASSMIN]
-    conc_min = p[_P_CONCMIN]
-    repl = p[_P_REPL]
-
-    roll = pltpu.roll
-
-    def sp(q, axis):
-        return roll(q, 1, axis)
-
-    def sm(q, axis):
-        return roll(q, q.shape[axis] - 1, axis)
-
-    def ixf_(q):
-        return 0.5 * (q + sp(q, 0))
-
-    def iyf_(q):
-        return 0.5 * (q + sp(q, 1))
-
-    def ixc_(q):
-        return 0.5 * (q + sm(q, 0))
-
-    def iyc_(q):
-        return 0.5 * (q + sm(q, 1))
-
-    def substep_(guard, carry, even):
-        u, v, s11, s22, s12, alpha = carry
-        m = m_ref[:] + guard
-        a = a_ref[:] + guard
-        P = P_ref[:]
-
-        # ---- derived per-substep fields (loop-invariant values, recomputed)
-        m_fc = ixf_(m)
-        a_fc = ixf_(a)
-        m_cf = iyf_(m)
-        a_cf = iyf_(a)
-        ok_u = m_fc > 0
-        ok_v = m_cf > 0
-        invm_u = jnp.where(ok_u, 1.0 / jnp.where(ok_u, m_fc, 1.0), 0.0)
-        invm_v = jnp.where(ok_v, 1.0 / jnp.where(ok_v, m_cf, 1.0), 0.0)
-        drag_u = invm_u * a_fc
-        drag_v = invm_v * a_cf
-        act_u = jnp.where((m_fc >= mass_min) & (a_fc >= conc_min), 1.0, 0.0)
-        act_v = jnp.where((m_cf >= mass_min) & (a_cf >= conc_min), 1.0, 0.0)
-        m_ff = ixf_(iyf_(m))
-        Pff = ixf_(iyf_(P))
-        ok_cc = m > 0
-        ok_ff = m_ff > 0
-        gcc = jnp.where(ok_cc, c_alpha * dt * inv_az / jnp.where(ok_cc, m, 1.0), -1.0)
-        gff = jnp.where(ok_ff, c_alpha * dt * inv_az / jnp.where(ok_ff, m_ff, 1.0), -1.0)
-
-        # ---- stresses
-        e11 = (sm(u, 0) - u) * inv_dx
-        e22 = (sm(v, 1) - v) * inv_dy
-        e12 = 0.5 * ((u - sp(u, 1)) * inv_dy + (v - sp(v, 0)) * inv_dx)
-        e11f = ixf_(iyf_(e11))
-        e22f = ixf_(iyf_(e22))
-        e12c = ixc_(iyc_(e12))
-        d_cc = e11 + e22
-        d_ff = e11f + e22f
-        Dcc = jnp.maximum(jnp.sqrt(d_cc ** 2 + ((e11 - e22) ** 2 + 4 * e12c ** 2) * e_inv2), d_min)
-        Dff = jnp.maximum(jnp.sqrt(d_ff ** 2 + ((e11f - e22f) ** 2 + 4 * e12 ** 2) * e_inv2), d_min)
-        zcc = P / (2 * Dcc)
-        zff = Pff / (2 * Dff)
-        Pr = jnp.where(repl > 0, P * Dcc / (Dcc + d_min), P)
-        eta_cc = zcc * e_inv2
-        eta_ff = zff * e_inv2
-        iso = (zcc - eta_cc) * d_cc - Pr * 0.5
-        s11_t = 2 * eta_cc * e11 + iso
-        s22_t = 2 * eta_cc * e22 + iso
-        s12_t = 2 * eta_ff * e12
-        gamma_cc = jnp.where(gcc > 0, jnp.clip(jnp.sqrt(jnp.abs(zcc * gcc)), a_min, a_max), a_max)
-        gamma_ff = jnp.where(gff > 0, jnp.clip(jnp.sqrt(jnp.abs(zff * gff)), a_min, a_max), a_max)
-        s11 = s11 + jnp.where(gcc > 0, (s11_t - s11) / gamma_cc, 0.0)
-        s22 = s22 + jnp.where(gcc > 0, (s22_t - s22) / gamma_cc, 0.0)
-        s12 = s12 + jnp.where(gff > 0, (s12_t - s12) / gamma_ff, 0.0)
-        alpha = gamma_cc
-
-        def u_update(u, v):
-            div_x = (s11 - sp(s11, 0)) * inv_dx + (sm(s12, 1) - s12) * inv_dy
-            v_fc = ixf_(iyc_(v))
-            du = ue - u
-            dv = ve - v_fc
-            speed = jnp.sqrt(du * du + dv * dv)
-            Gu = (f_cor * v_fc - tau_u_top * drag_u + rC * speed * ue * drag_u
-                  + div_x * invm_u + (un_ref[:] - u) / dt)
-            Gu = jnp.where(ok_u, Gu, 0.0)
-            dtau = dt / ixf_(alpha)
-            return (u + dtau * Gu) / (1 + dtau * rC * speed * drag_u) * act_u
-
-        def v_update(u, v):
-            div_y = (s22 - sp(s22, 1)) * inv_dy + (sm(s12, 0) - s12) * inv_dx
-            u_cf = ixc_(iyf_(u))
-            dv = ve - v
-            du = ue - u_cf
-            speed = jnp.sqrt(du * du + dv * dv)
-            Gv = (-f_cor * u_cf - tau_v_top * drag_v + rC * speed * ve * drag_v
-                  + div_y * invm_v + (vn_ref[:] - v) / dt)
-            Gv = jnp.where(ok_v, Gv, 0.0)
-            dtau = dt / iyf_(alpha)
-            return (v + dtau * Gv) / (1 + dtau * rC * speed * drag_v) * act_v
-
-        if even:
-            u = u_update(u, v)
-            v = v_update(u, v)
-        else:
-            v = v_update(u, v)
-            u = u_update(u, v)
-        return (u, v, s11, s22, s12, alpha)
-
-    # Odd/even substep pairs with the alternating order statically unrolled
-    # (see _evp_kernel).  ``guard`` is a spurious dependence on the loop index
-    # that defeats loop-invariant hoisting of the derived fields, which would
-    # otherwise re-materialize them as VMEM residents across the whole loop.
-    def pair(j, carry):
-        guard = jnp.where(j < 0, jnp.float32(1), jnp.float32(0))
-        return substep_(guard, substep_(guard, carry, False), True)
-
-    init = (u_ref[:], v_ref[:], s11_ref[:], s22_ref[:], s12_ref[:], al_ref[:])
-    carry = lax.fori_loop(0, nsub // 2, pair, init)
-    if nsub % 2:  # trailing odd substep
-        carry = substep_(jnp.float32(0), carry, False)
     u, v, s11, s22, s12, alpha = carry
 
     o_u_ref[:] = u

@@ -566,6 +566,13 @@ def _tiled_curv_kernel(K, base_even, make_fillers, has_drag,
     ve_fc = ixf_(iyc_(ve))
     ue_cf = ixc_(iyf_(ue))
 
+    # transcendental-lean scalar forms (see pallas_evp._evp_kernel)
+    inv_dt = 1.0 / dt
+    inv_dmin = 1.0 / d_min
+    amin2 = a_min * a_min
+    amax2 = a_max * a_max
+    rsqrt = lax.rsqrt
+
     def stresses(u, v, s11, s22, s12):
         u_dy = u * dy_fc
         v_dx = v * dx_cf
@@ -578,30 +585,37 @@ def _tiled_curv_kernel(K, base_even, make_fillers, has_drag,
         v_ody = v * inv_dy_cf
         eS = (dx_ff2 * (u_odx - sp(u_odx, 1))
               + dy_ff2 * (v_ody - sp(v_ody, 0))) * inv_az_ff
-        e11 = 0.5 * (eD + eT)
-        e22 = 0.5 * (eD - eT)
+        # (d, t) = (eD, eT) directly on curvilinear grids; the ff-point
+        # invariants interpolate the pair (one ixy and the e11/e22 splits
+        # saved; see pallas_evp._evp_kernel for the transcendental-lean
+        # algebra, validation/perf_kernel_surgery.py for the measurement)
         e12 = 0.5 * eS
-        e11f = ixf_(iyf_(e11))
-        e22f = ixf_(iyf_(e22))
+        d_ff = ixf_(iyf_(eD))
+        t_ff = ixf_(iyf_(eT))
         e12c = ixc_(iyc_(e12))
-        d_cc = e11 + e22
-        d_ff = e11f + e22f
-        Dcc = jnp.maximum(jnp.sqrt(d_cc ** 2 + ((e11 - e22) ** 2 + 4 * e12c ** 2) * e_inv2), d_min)
-        Dff = jnp.maximum(jnp.sqrt(d_ff ** 2 + ((e11f - e22f) ** 2 + 4 * e12 ** 2) * e_inv2), d_min)
-        zcc = P / (2 * Dcc)
-        zff = Pff / (2 * Dff)
+        dd_cc = eD * eD + (eT * eT + 4 * e12c * e12c) * e_inv2
+        dd_ff = d_ff * d_ff + (t_ff * t_ff + 4 * e12 * e12) * e_inv2
+        rD_cc = jnp.minimum(rsqrt(dd_cc), inv_dmin)
+        rD_ff = jnp.minimum(rsqrt(dd_ff), inv_dmin)
+        Dcc = jnp.maximum(dd_cc * rD_cc, d_min)
+        zcc = 0.5 * P * rD_cc
+        zff = 0.5 * Pff * rD_ff
         Pr = jnp.where(repl > 0, P * Dcc / (Dcc + d_min), P)
         eta_cc = zcc * e_inv2
         eta_ff = zff * e_inv2
-        iso = (zcc - eta_cc) * d_cc - Pr * 0.5
-        s11_t = 2 * eta_cc * e11 + iso
-        s22_t = 2 * eta_cc * e22 + iso
+        iso = (zcc - eta_cc) * eD - Pr * 0.5
+        s11_t = eta_cc * (eD + eT) + iso
+        s22_t = eta_cc * (eD - eT) + iso
         s12_t = 2 * eta_ff * e12
-        gamma_cc = jnp.where(gcc > 0, jnp.clip(jnp.sqrt(jnp.abs(zcc * gcc)), a_min, a_max), a_max)
-        gamma_ff = jnp.where(gff > 0, jnp.clip(jnp.sqrt(jnp.abs(zff * gff)), a_min, a_max), a_max)
-        s11 = s11 + jnp.where(gcc > 0, (s11_t - s11) / gamma_cc, 0.0)
-        s22 = s22 + jnp.where(gcc > 0, (s22_t - s22) / gamma_cc, 0.0)
-        s12 = s12 + jnp.where(gff > 0, (s12_t - s12) / gamma_ff, 0.0)
+        g2cc = jnp.clip(zcc * gcc, amin2, amax2)
+        g2ff = jnp.clip(zff * gff, amin2, amax2)
+        rg_cc = rsqrt(g2cc)
+        rg_ff = rsqrt(g2ff)
+        ok_g = gcc > 0
+        gamma_cc = jnp.where(ok_g, g2cc * rg_cc, a_max)
+        s11 = s11 + jnp.where(ok_g, (s11_t - s11) * rg_cc, 0.0)
+        s22 = s22 + jnp.where(ok_g, (s22_t - s22) * rg_cc, 0.0)
+        s12 = s12 + jnp.where(gff > 0, (s12_t - s12) * rg_ff, 0.0)
         return s11, s22, s12, gamma_cc
 
     def divergences(s11, s22, s12):
@@ -630,10 +644,10 @@ def _tiled_curv_kernel(K, base_even, make_fillers, has_drag,
         imm = (imms_u * u + immn_u * sm(u, 1)) * invm_u if has_drag else 0.0
         Gu = (f_cor * v_fc - tau_u_top * drag_u + rC * speed * ue * drag_u
               + div_x * invm_u - imm
-              + (un - u) / dt)
+              + (un - u) * inv_dt)
         Gu = jnp.where(invm_u > 0, Gu, 0.0)
-        dtau = dt / ixf_(alpha)
-        u_new = (u + dtau * Gu) / (1 + dtau * rC * speed * drag_u) * act_u
+        idtau = ixf_(alpha) * inv_dt
+        u_new = (u * idtau + Gu) / (idtau + rC * speed * drag_u) * act_u
         return fill_fc(u_new)
 
     def v_update(u, v, div_y, alpha):
@@ -644,10 +658,10 @@ def _tiled_curv_kernel(K, base_even, make_fillers, has_drag,
         imm = (immw_v * v + imme_v * sm(v, 0)) * invm_v if has_drag else 0.0
         Gv = (-f_cor * u_cf - tau_v_top * drag_v + rC * speed * ve * drag_v
               + div_y * invm_v - imm
-              + (vn - v) / dt)
+              + (vn - v) * inv_dt)
         Gv = jnp.where(invm_v > 0, Gv, 0.0)
-        dtau = dt / iyf_(alpha)
-        v_new = (v + dtau * Gv) / (1 + dtau * rC * speed * drag_v) * act_v
+        idtau = iyf_(alpha) * inv_dt
+        v_new = (v * idtau + Gv) / (idtau + rC * speed * drag_v) * act_v
         return fill_cf(v_new)
 
     def one(carry, even):
