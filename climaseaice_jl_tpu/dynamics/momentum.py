@@ -269,7 +269,33 @@ def split_explicit_momentum_step(model, state, dt, u_start, v_start,
     substeps = dyn.solver.substeps
     masks = model.masks
 
-    if halo_u is None or halo_v is None:
+    # Deferred joint exchange (meshed per-substep mode): the two half-updates
+    # use *local* fills (halo validity shrinks ≤ 4 cells within one substep —
+    # strain ±1, ϵ̇-interp ±1, ∂σ ±1, u-interp ±1) and one batched u+v
+    # exchange round at substep end restores exact halos.  Interior results
+    # are identical to per-half-update exchanges (overlap cells recompute the
+    # neighbor's values from the same inputs), but the exchange count per
+    # substep halves and the two messages fuse into one payload — the
+    # TPU-native analog of the reference's grouped async halo sends
+    # (`split_explicit_momentum_equations.jl:170-187`).
+    from ..fields import _meshed as _dim_meshed
+    meshed = _dim_meshed(grid, 0) or _dim_meshed(grid, 1)
+    deferred = (
+        halo_u is None and halo_v is None and meshed
+        and getattr(dyn.solver, "halo_exchange", "per_substep") == "per_substep"
+        and isinstance(dyn.rheology, ElastoViscoPlasticRheology)
+        and dyn.free_drift is None  # stencil-depth budget counted for EVP only
+        and (not _dim_meshed(grid, 0) or grid.Hx >= 4)
+        and (not _dim_meshed(grid, 1) or grid.Hy >= 4)
+        # mid-substep local fills cannot refresh a fold split across x
+        and not (grid.north_fold and _dim_meshed(grid, 0)))
+    if deferred:
+        from ..fields import (fill_halos_fc_local, fill_halos_cf_local,
+                              fill_halos_uv)
+        halo_u = lambda q: fill_halos_fc_local(q, grid)
+        halo_v = lambda q: fill_halos_cf_local(q, grid)
+        exchange_uv = lambda u, v: fill_halos_uv(u, v, grid)
+    elif halo_u is None or halo_v is None:
         if getattr(dyn.solver, "halo_exchange", "per_substep") == "wide":
             from ..fields import fill_halos_fc_local, fill_halos_cf_local
             halo_u = lambda q: fill_halos_fc_local(q, grid)
@@ -277,6 +303,9 @@ def split_explicit_momentum_step(model, state, dt, u_start, v_start,
         else:
             halo_u = lambda q: fill_halos_fc(q, grid)
             halo_v = lambda q: fill_halos_cf(q, grid)
+        exchange_uv = None
+    else:
+        exchange_uv = None
 
     h, a = state.h, state.a
     rho = jnp.broadcast_to(jnp.asarray(model.sea_ice_density, grid.np_dtype), grid.shape)
@@ -361,10 +390,15 @@ def split_explicit_momentum_step(model, state, dt, u_start, v_start,
             return u2, v2
 
         u, v = lax.cond(substep % 2 == 0, even_order, odd_order, (u, v))
+        if exchange_uv is not None:
+            u, v = exchange_uv(u, v)
         return (u, v, s11, s22, s12, alpha, Delta, zcc, zff)
 
-    u0 = halo_u(u_start)
-    v0 = halo_v(v_start)
+    if exchange_uv is not None:
+        u0, v0 = exchange_uv(u_start, v_start)
+    else:
+        u0 = halo_u(u_start)
+        v0 = halo_v(v_start)
     zeros = jnp.zeros(grid.shape, grid.np_dtype)
 
     def _or_zeros(q):

@@ -55,6 +55,25 @@ def _exchange(q, axis, axis_name, P, H, N):
     return q.at[:, :H].set(from_left).at[:, H + N:].set(from_right)
 
 
+def _exchange_pair(qs, axis, axis_name, P, H, N):
+    """Ring halo exchange for several same-shape arrays at once: the strips
+    are stacked into ONE ppermute payload per direction, halving the message
+    count vs per-field exchanges (the deferred-exchange substep mode's
+    batched u/v round; reference posts its halo sends together,
+    `split_explicit_momentum_equations.jl:170-187`)."""
+    fwd = [(i, (i + 1) % P) for i in range(P)]
+    bwd = [(i, (i - 1) % P) for i in range(P)]
+    if axis == 0:
+        left = lax.ppermute(jnp.stack([q[N:N + H] for q in qs]), axis_name, fwd)
+        right = lax.ppermute(jnp.stack([q[H:2 * H] for q in qs]), axis_name, bwd)
+        return [q.at[:H].set(left[i]).at[H + N:].set(right[i])
+                for i, q in enumerate(qs)]
+    left = lax.ppermute(jnp.stack([q[:, N:N + H] for q in qs]), axis_name, fwd)
+    right = lax.ppermute(jnp.stack([q[:, H:2 * H] for q in qs]), axis_name, bwd)
+    return [q.at[:, :H].set(left[i]).at[:, H + N:].set(right[i])
+            for i, q in enumerate(qs)]
+
+
 def _bc_x_meshed(q, grid: Grid, face: bool, seam=None):
     """Physical wall BC on the x-meshed direction, applied only on the shards
     at the global domain edge.  ``seam``: pre-exchange east-wall face value to
@@ -267,6 +286,39 @@ FILLERS = {
     ("c", "f"): fill_halos_cf,
     ("f", "f"): fill_halos_ff,
 }
+
+
+def fill_halos_uv(u, v, grid: Grid):
+    """Joint u/v halo fill: identical result to
+    ``(fill_halos_fc(u), fill_halos_cf(v))`` but with the meshed-direction
+    exchanges batched into one ppermute payload per direction (the
+    deferred-exchange substep mode does one such round per substep instead
+    of two separate exchange rounds)."""
+    if _meshed(grid, 0):
+        H, N = grid.Hx, grid.Nx
+        seam_u = u[H + N]
+        u, v = _exchange_pair((u, v), 0, grid.mesh_axes[0],
+                              grid.mesh_shape[0], H, N)
+        if grid.topology[0] == BOUNDED:
+            u = _bc_x_meshed(u, grid, True, seam=seam_u)
+            v = _bc_x_meshed(v, grid, False)
+    else:
+        u = _fill_x(u, grid, True)
+        v = _fill_x(v, grid, False)
+    if _meshed(grid, 1):
+        H, N = grid.Hy, grid.Ny
+        seam_v = v[:, H + N]
+        u, v = _exchange_pair((u, v), 1, grid.mesh_axes[1],
+                              grid.mesh_shape[1], H, N)
+        if grid.topology[1] == BOUNDED:
+            u = _bc_y_meshed(u, grid, False)
+            v = _bc_y_meshed(v, grid, True, seam=seam_v)
+    else:
+        u = _fill_y(u, grid, False)
+        v = _fill_y(v, grid, True)
+    u = _maybe_fold(u, grid, True, False, -1.0)
+    v = _maybe_fold(v, grid, False, True, -1.0)
+    return u, v
 
 
 # --- local-only fills (communication-avoiding wide-halo mode) -----------------

@@ -324,3 +324,26 @@ def test_fixed_tiles_reproducible_with_advection():
             scale = vel_scale if name in ("u", "v") else max(np.abs(a).max(), 1e-8)
             assert np.abs(a - b).max() / scale < 1e-5, \
                 f"{name} {mesh_shape}: {np.abs(a - b).max() / scale}"
+
+
+def test_deferred_substep_exchange_single_batched_round():
+    """Per-substep mode runs ONE batched u+v exchange round per substep
+    (fields.fill_halos_uv): the compiled substep-loop body must contain
+    exactly 2 collective-permutes (fwd + bwd of the stacked payload) — the
+    deferred-exchange analog of the reference's grouped async halo sends
+    (`split_explicit_momentum_equations.jl:170-187`).  Guard against
+    regressing to per-half-update exchanges (4 permutes)."""
+    import re
+    import jax
+    from climaseaice_jl_tpu.parallel.stepper import strip_halos
+
+    model, state = _build()
+    dstep, mesh = make_distributed_step(model, (1, 2))
+    s = strip_halos(model, state)
+    hlo = jax.jit(lambda s: dstep(s, 60.0)).lower(s).compile().as_text()
+    # the momentum substep loop is the only while-region with permutes
+    comps = re.split(r"\n(?=%?\w[\w.+-]* \()", hlo)
+    loop_counts = [c.count("collective-permute") for c in comps
+                   if "region" in c.split("\n", 1)[0]
+                   and c.count("collective-permute")]
+    assert loop_counts == [2], loop_counts

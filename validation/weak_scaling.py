@@ -40,7 +40,7 @@ def build(Nx, Ny, halo_exchange="per_substep"):
     return model, state
 
 
-def measure(mesh_shape, tile=64, steps=5, halo_exchange="per_substep"):
+def measure(mesh_shape, tile=96, steps=10, halo_exchange="per_substep"):
     Px, Py = mesh_shape
     model, state = build(tile * Px, tile * Py, halo_exchange)
     dstep, mesh = make_distributed_step(model, mesh_shape)
@@ -57,7 +57,9 @@ def measure(mesh_shape, tile=64, steps=5, halo_exchange="per_substep"):
 
 
 if __name__ == "__main__":
-    print(f"devices: {len(jax.devices())} ({jax.devices()[0].platform})")
+    ncores = os.cpu_count() or 1
+    print(f"devices: {len(jax.devices())} ({jax.devices()[0].platform}), "
+          f"physical cores: {ncores}")
     for he in ("per_substep", "wide"):
         base = None
         for mesh_shape in ((1, 1), (1, 2), (2, 2), (2, 4)):
@@ -67,5 +69,8 @@ if __name__ == "__main__":
             total, per_dev = measure(mesh_shape, halo_exchange=he)
             if base is None:
                 base = per_dev
+            over = " [OVERSUBSCRIBED: ranks > cores, eff not meaningful]" \
+                if n > ncores else ""
             print(f"halo={he:12s} mesh={mesh_shape}: {total/1e6:8.2f}M pts/s total, "
-                  f"{per_dev/1e6:6.2f}M/device, weak-scaling eff {per_dev/base*100:5.1f}%")
+                  f"{per_dev/1e6:6.2f}M/device, weak-scaling eff "
+                  f"{per_dev/base*100:5.1f}%{over}")
