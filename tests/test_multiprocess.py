@@ -141,3 +141,190 @@ def test_two_process_mesh_matches_serial(tmp_path):
             # reassembly bit-for-bit
             np.testing.assert_array_equal(gathered[name], got[name],
                                           err_msg=f"gathered {name}")
+
+
+# --- hard combination 1: immersed tripolar, fold on the top rank -------------
+
+TRIPOLAR_CONFIG = '''
+import numpy as np
+import climaseaice_jl_tpu as csi
+
+STEPS = 3
+DT = 60.0
+
+def build():
+    grid = csi.TripolarGrid((16, 64), southernmost_latitude=-70.0, halo=5)
+    land = np.zeros((16, 64), bool)
+    land[:, :2] = True
+    land[5:9, 58:] = True   # landmass reaching into the fold
+    grid = csi.ImmersedBoundaryGrid(grid, land)
+    dyn = csi.SeaIceMomentumEquation(
+        rheology=csi.ElastoViscoPlasticRheology(ice_compressive_strength=27.5),
+        top_momentum_stress={"u": 0.02, "v": 0.01},
+        bottom_momentum_stress=csi.SemiImplicitStress(ue=0.05, ve=-0.02),
+        solver=csi.SplitExplicitSolver(substeps=6))
+    model = csi.sea_ice_model(grid, dynamics=dyn, ice_thermodynamics=None,
+                              advection=csi.WENO(order=5),
+                              timestepper="ForwardEuler")
+    rng = np.random.default_rng(7)
+    state = csi.initial_state(model, h=0.5 + 0.1 * rng.random((16, 64)),
+                              a=1.0, u=0.05)
+    return model, state
+'''
+
+TRIPOLAR_WORKER = TRIPOLAR_CONFIG + '''
+import sys
+import jax
+
+pid, nproc, port, prefix = (int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
+                            sys.argv[4])
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nproc, process_id=pid)
+jax.config.update("jax_enable_x64", True)
+assert len(jax.devices()) == 4
+
+from climaseaice_jl_tpu.parallel import (make_distributed_step, shard_state,
+                                         save_rank_snapshot)
+from climaseaice_jl_tpu.parallel.stepper import strip_halos
+
+model, state = build()
+dstep, mesh = make_distributed_step(model, (1, 4))   # fold lives on rank 1
+s = shard_state(strip_halos(model, state), mesh)
+for it in range(1, STEPS + 1):
+    s = dstep(s, DT)
+save_rank_snapshot(prefix, s, STEPS, time=STEPS * DT,
+                   outputs=("u", "v", "h", "a"))
+print(f"[rank {pid}] OK", flush=True)
+'''
+
+
+def test_two_process_immersed_tripolar_fold(tmp_path):
+    """Immersed tripolar with the Zipper fold handled on the top-rank shard,
+    across two real processes (`distributed_tests_utils.jl:231-257` × real
+    MPI-style spawning of `test_distributed_sea_ice.jl:40-64`)."""
+    worker = tmp_path / "worker_tri.py"
+    worker.write_text(TRIPOLAR_WORKER)
+    prefix = str(tmp_path / "tri")
+    port = _free_port()
+
+    env = dict(os.environ)
+    env.update(PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2",
+               PYTHONPATH=REPO)
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(p), "2", str(port), prefix],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for p in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+        assert "OK" in out
+
+    ns = {}
+    exec(compile(TRIPOLAR_CONFIG, "<config>", "exec"), ns)
+    model, state = ns["build"]()
+    for _ in range(ns["STEPS"]):
+        state = csi.step(model, state, ns["DT"])
+
+    from climaseaice_jl_tpu.parallel import reassemble_rank_snapshots
+    from climaseaice_jl_tpu.parallel.stepper import _strip_one
+    got = reassemble_rank_snapshots(prefix, ns["STEPS"], (16, 64))
+    for name in ("u", "v", "h", "a"):
+        # folded grids store y-face fields seam-shifted (stepper._Y_FACE_FIELDS)
+        ref = np.asarray(_strip_one(name, getattr(state, name), model.grid))
+        assert np.isfinite(got[name]).all(), name
+        np.testing.assert_allclose(got[name], ref, rtol=1e-11, atol=1e-13,
+                                   err_msg=name)
+
+
+# --- hard combination 2: 4 processes, wide-halo + fixed-tile fused kernels ---
+
+FIXED_CONFIG = '''
+import numpy as np
+import climaseaice_jl_tpu as csi
+
+KM = 1000.0
+STEPS = 3
+DT = 60.0
+
+def build():
+    grid = csi.RectilinearGrid(size=(48, 128), x=(-10 * KM, 10 * KM),
+                               y=(-20 * KM, 20 * KM), halo=5, dtype="float32")
+    dyn = csi.SeaIceMomentumEquation(
+        rheology=csi.ElastoViscoPlasticRheology(ice_compressive_strength=27.5),
+        coriolis=csi.FPlane(f=1e-4),
+        top_momentum_stress={"u": 0.01, "v": 0.01},
+        bottom_momentum_stress=csi.SemiImplicitStress(),
+        solver=csi.SplitExplicitSolver(substeps=8, halo_exchange="wide",
+                                       fused="always", fixed_tiles=(8, 128)))
+    model = csi.sea_ice_model(grid, dynamics=dyn, ice_thermodynamics=None,
+                              advection=None, timestepper="ForwardEuler")
+    def h0(x, y):
+        return 0.3 + 0.005 * (np.sin(60 * x / (20 * KM)) + np.sin(30 * y / (40 * KM)))
+    state = csi.initial_state(model, h=h0, a=1.0, u=0.05)
+    return model, state
+'''
+
+FIXED_WORKER = FIXED_CONFIG + '''
+import sys
+import jax
+
+pid, nproc, port, prefix = (int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
+                            sys.argv[4])
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nproc, process_id=pid)
+assert len(jax.devices()) == 8
+assert len(jax.local_devices()) == 2
+
+from climaseaice_jl_tpu.parallel import (make_distributed_step, shard_state,
+                                         save_rank_snapshot)
+from climaseaice_jl_tpu.parallel.stepper import strip_halos
+
+model, state = build()
+dstep, mesh = make_distributed_step(model, (2, 4))
+s = shard_state(strip_halos(model, state), mesh)
+for it in range(1, STEPS + 1):
+    s = dstep(s, DT)
+save_rank_snapshot(prefix, s, STEPS, time=STEPS * DT,
+                   outputs=("u", "v", "sig11", "sig12"))
+print(f"[rank {pid}] OK", flush=True)
+'''
+
+
+def test_four_process_wide_halo_fixed_tiles_bitwise(tmp_path):
+    """Four real processes × 2 devices on a (2,4) mesh, communication-avoiding
+    wide-halo EVP with per-shard fixed-tile fused Pallas kernels: the
+    reassembled run must be BITWISE equal to serial (advection off, f32 —
+    the reference's exact-equality bar, `distributed_tests_utils.jl:83-86`,
+    on the hardest execution combination)."""
+    worker = tmp_path / "worker_fixed.py"
+    worker.write_text(FIXED_WORKER)
+    prefix = str(tmp_path / "fixed")
+    port = _free_port()
+
+    env = dict(os.environ)
+    env.update(PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2",
+               PYTHONPATH=REPO)
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(p), "4", str(port), prefix],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for p in range(4)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+        assert "OK" in out
+
+    ns = {}
+    exec(compile(FIXED_CONFIG, "<config>", "exec"), ns)
+    model, state = ns["build"]()
+    for _ in range(ns["STEPS"]):
+        state = csi.step(model, state, ns["DT"])
+
+    from climaseaice_jl_tpu.parallel import reassemble_rank_snapshots
+    got = reassemble_rank_snapshots(prefix, ns["STEPS"], (48, 128))
+    I = model.grid.interior
+    for name in ("u", "v", "sig11", "sig12"):
+        ref = np.asarray(I(getattr(state, name)))
+        assert np.isfinite(got[name]).all(), name
+        np.testing.assert_array_equal(got[name], ref, err_msg=name)
