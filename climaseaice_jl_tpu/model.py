@@ -272,7 +272,15 @@ def tracer_tendencies(model, state):
             return 0.0
         return fn(grid, state.clock, fields)
 
-    div = lambda c: horizontal_div_Uc(grid, adv, u, v, c, masks=adv_masks)
+    # fixed-tile Pallas advection: with solver.fixed_tiles pinned, the WENO
+    # arithmetic is decomposition-invariant (bitwise serial ≡ distributed,
+    # see dynamics/pallas_advection.py)
+    from .dynamics.pallas_advection import (fixed_tile_advection_available,
+                                            make_fixed_tile_div)
+    if fixed_tile_advection_available(model):
+        div = make_fixed_tile_div(model, u, v)
+    else:
+        div = lambda c: horizontal_div_Uc(grid, adv, u, v, c, masks=adv_masks)
     Gh = -div(state.h) + F("h")
     Ga = -div(state.a) + F("a")
     Ghs = (-div(state.hs) + F("hs")) if state.hs is not None else None

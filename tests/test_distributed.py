@@ -290,10 +290,11 @@ def test_fixed_tiles_shard_shape_invariant_evp():
 
 def test_fixed_tiles_reproducible_with_advection():
     """Full step (WENO-7 advection + fixed-tile fused EVP) at the reference
-    default α⁺=300: the jnp advection still seeds shape-dependent roundoff,
-    but with the EVP arithmetic decomposition-invariant the trajectories stay
-    within 1e-5 relative (VERDICT r1 item 4 'Done' bar) instead of the ~1e-2
-    of free-shape kernel compilations."""
+    default α⁺=300: with the advection AND the mass/strength coefficient
+    prepare running on fixed-tile Pallas kernels alongside the fixed-tile
+    EVP, the whole dynamics+advection step is decomposition-invariant —
+    serial ≡ distributed BITWISE, the reference's exact-equality bar
+    (`distributed_tests_utils.jl:83-86`)."""
     km = 1000.0
     grid = csi.RectilinearGrid(size=(48, 128), x=(-10 * km, 10 * km),
                                y=(-20 * km, 20 * km), halo=5, dtype="float32")
@@ -315,15 +316,14 @@ def test_fixed_tiles_reproducible_with_advection():
 
     serial = _run_serial(model, state, 5, 60.0)
     I = model.grid.interior
-    vel_scale = max(np.abs(np.asarray(I(serial.u))).max(), 1e-8)
     for mesh_shape in ((2, 2), (1, 4)):
         dist = _run_distributed(model, state, 5, 60.0, mesh_shape)
-        for name in ("u", "v", "h", "a"):
+        for name in ("u", "v", "h", "a", "sig11", "sig12", "alpha"):
             a = np.asarray(I(getattr(serial, name)))
             b = np.asarray(I(getattr(dist, name)))
-            scale = vel_scale if name in ("u", "v") else max(np.abs(a).max(), 1e-8)
-            assert np.abs(a - b).max() / scale < 1e-5, \
-                f"{name} {mesh_shape}: {np.abs(a - b).max() / scale}"
+            assert np.isfinite(b).all(), name
+            assert np.array_equal(a, b), \
+                f"{name} {mesh_shape} not bitwise: {np.abs(a - b).max()}"
 
 
 def test_deferred_substep_exchange_single_batched_round():
