@@ -55,8 +55,6 @@ def fixed_tile_advection_available(model):
     fixed = getattr(solver, "fixed_tiles", None)
     if fixed is None:
         return False
-    if grid.kind != "rectilinear" or grid.north_fold:
-        return False
     if grid.np_dtype != np.dtype("float32"):
         return False
     schemes = ((adv.x, adv.y) if isinstance(adv, FluxFormAdvection)
@@ -68,12 +66,18 @@ def fixed_tile_advection_available(model):
     if grid.Hx < r or grid.Hy < r or r > _WX:
         return False
     TX, TY = fixed
-    if TX % 8 or TY % 128:
+    if TY is None or TX % 8 or TY % 128:
         return False
-    # metrics must be uniform scalars (possibly traced inside shard_map)
-    if any(getattr(m, "ndim", np.ndim(m)) != 0 for m in (grid.dx_cc, grid.dy_cc)):
-        return False
+    # array-metric grids (latlon/curvilinear/tripolar) pass dy_fc/dx_cf/az_cc
+    # as tile slabs; the fold needs no in-kernel handling — unlike the EVP
+    # loop, advection is a single stencil application over pre-filled halos,
+    # and the gathered slabs carry the Zipper-filled halo values
     return True
+
+
+def _array_metrics(grid):
+    return any(getattr(m, "ndim", np.ndim(m)) != 0
+               for m in (grid.dx_cc, grid.dy_cc))
 
 
 # --- in-kernel face reconstructions (pltpu.roll analogs of advection.py) -----

@@ -66,6 +66,10 @@ def curvilinear_fused_available(model):
         return False  # the rectilinear tiers are cheaper
     if grid.mesh_axes is not None:
         return False  # distributed curvilinear: jnp path
+    if getattr(dyn.solver, "fixed_tiles", None) is not None:
+        return False  # bitwise mode: the whole-array block shape is the
+        # padded shape, which differs serial vs shard — the tiled tier
+        # pins the Mosaic compilation instead
     if grid.topology[0] != PERIODIC or grid.topology[1] not in (PERIODIC, BOUNDED):
         return False
     if grid.north_fold and grid.topology[1] != BOUNDED:

@@ -156,6 +156,45 @@ def _drag_on(model):
             and model.grid.solid_cc is not None)
 
 
+def _fixed_plan(grid, nsub, fixed, mult, widen_fold=False):
+    """Pinned tile plan for ``fixed_tiles`` bitwise mode: the block shape —
+    hence the Mosaic compilation, hence the per-point FMA/rounding choices —
+    depends only on (TX, TY, K), never on the local array shape, topology
+    flags, or mesh position, so serial and every wide-halo shard execute
+    bit-identical per-point arithmetic (pallas_evp_tiled_padded's fixed-mode
+    invariant extended to array-metric grids).  Returns
+    (K, TX, TY, Wx, Wy) or None when the pinned shape can't serve this
+    grid (VMEM, divisibility of the Mosaic block rules, or the gated wall
+    fills' single-trigger-tile constraints)."""
+    from .pallas_evp_tiled import pick_chunk
+    K = pick_chunk(nsub)
+    if K is None:
+        return None
+    TX, TY = fixed
+    if TY is None:
+        return None      # y-spanning slabs carry nyp: shape-dependent
+    if TX % 8 or TY % 128:
+        return None
+    Wx = _wx(K, True)    # pinned wide overlap, topology-independent
+    Wy = 64
+    Hy = max(grid.Hy, 2 * K + 3) if widen_fold else grid.Hy
+    nxp = grid.nxp
+    nyp = grid.Ny + 2 * Hy
+    ntx, nty = -(-nxp // TX), -(-nyp // TY)
+    if mult * (TX + 2 * Wx) * (TY + 2 * Wy) * 4 > _VMEM_BUDGET:
+        return None
+    # single-trigger-tile constraints of the gated wall fills (see
+    # _plan_tiles): the domain-edge row/col must live in exactly one tile
+    if grid.topology[0] == BOUNDED and ntx > 1 and (
+            TX - Wx <= grid.Hx or (ntx - 1) * TX + Wx > grid.Hx + grid.Nx):
+        return None
+    if grid.topology[1] == BOUNDED and nty > 1 and (
+            TY - Wy <= Hy or (not grid.north_fold
+                              and (nty - 1) * TY + Wy > Hy + grid.Ny)):
+        return None
+    return K, TX, TY, Wx, Wy
+
+
 def tiled_curvilinear_available(model):
     """Eligibility: the whole-array curvilinear kernel's physics envelope,
     on any size, serial or meshed-with-wide-halo."""
@@ -188,8 +227,6 @@ def tiled_curvilinear_available(model):
             return False  # per-substep exchange can't cross a fused chunk
         if grid.north_fold and _meshed(grid, 0):
             return False  # fold split across x: local fills can't refresh it
-    if getattr(dyn.solver, "fixed_tiles", None) is not None:
-        return False  # fixed-tile bitwise mode: rectilinear tiers only
     if dyn.immersed_drag is not None and not isinstance(dyn.immersed_drag,
                                                         ImmersedDrag):
         return False
@@ -199,7 +236,12 @@ def tiled_curvilinear_available(model):
         return False
     mult = _MULT_DRAG if _drag_on(model) else _MULT
     widen = grid.north_fold and grid.mesh_axes is None
-    if _plan_tiles(grid, dyn.solver.substeps, mult, widen_fold=widen) is None:
+    fixed = getattr(dyn.solver, "fixed_tiles", None)
+    if fixed is not None:
+        if _fixed_plan(grid, dyn.solver.substeps, fixed, mult,
+                       widen_fold=widen) is None:
+            return False
+    elif _plan_tiles(grid, dyn.solver.substeps, mult, widen_fold=widen) is None:
         return False
 
     def ok_val(x):
@@ -725,17 +767,153 @@ def _derived_metric_slabs(grid):
             1.0 / met("dx_fc"), 1.0 / met("dy_cf")]
 
 
-def _prepare_tiled_inputs(model, state, dt, u_start, v_start):
+def _prepare_tiled_inputs(model, state, dt, u_start, v_start, fixed=None,
+                          interpret=False):
     """Whole-array curvilinear prepare (whose τ/uₑ/vₑ arrays already carry
     the Zipper sign flip on folded grids — required here for exact fold-halo
     self-evolution, see module docstring), with the raw 12-metric block
-    replaced by the 14 derived forms."""
+    replaced by the 14 derived forms.
+
+    ``fixed`` (TX, TY): fixed-tile bitwise mode — XLA fuses the jnp
+    mass/strength coefficient chain with the surrounding step graph and
+    contracts FMAs shape-dependently, seeding ~1e-10 serial-vs-shard
+    differences that α⁺-level EVP amplifies.  Recompute the coefficient
+    block on fixed-shape Pallas tiles (the array-metric analog of
+    pallas_evp_padded._fixed_tile_prepare) so its values are identical in
+    every decomposition."""
     from .pallas_evp_curvilinear import _prepare_curvilinear_inputs
 
     params, consts, carry_in, P, has_drag = _prepare_curvilinear_inputs(
         model, state, dt, u_start, v_start)
     consts = _derived_metric_slabs(model.grid) + consts[12:]
+    if fixed is not None:
+        (P, Pff, gcc, gff, drag_u, invm_u, act_u,
+         drag_v, invm_v, act_v) = _fixed_tile_prepare_curv(
+            model, state.h, state.a, dt, fixed, interpret)
+        masks = model.masks
+        if masks.per_fc is not None:
+            act_u = act_u * (~masks.per_fc).astype(jnp.float32)
+        if masks.per_cf is not None:
+            act_v = act_v * (~masks.per_cf).astype(jnp.float32)
+        # const layout (_prepare_curvilinear_inputs + 14 derived metrics):
+        # 14..17 = P, Pff, gcc, gff; 18..20 = drag_u, invm_u, act_u;
+        # 21 = u_start; 22..24 = drag_v, invm_v, act_v (kernel ref order)
+        consts[14:18] = [P, Pff, gcc, gff]
+        consts[18:21] = [drag_u, invm_u, act_u]
+        consts[22:25] = [drag_v, invm_v, act_v]
     return params, consts, carry_in, P, has_drag
+
+
+def _prep_kernel_curv(params_ref, h_ref, a_ref, azcc_ref, azff_ref,
+                      *out_refs):
+    """Pointwise/interp EVP coefficient block on one fixed tile with
+    array-valued cell areas (the curvilinear analog of
+    pallas_evp_padded._prep_kernel; ops and order match
+    pallas_evp_curvilinear._prepare_curvilinear_inputs exactly)."""
+    (oP, oPff, ogcc, ogff, odrag_u, oinvm_u, oact_u,
+     odrag_v, oinvm_v, oact_v) = out_refs
+    p = params_ref
+    rho = p[0]
+    Pstar = p[1]
+    Chard = p[2]
+    cadt = p[3]       # relaxation_strength · Δt
+    mass_min = p[4]
+    conc_min = p[5]
+
+    h = h_ref[:]
+    a = a_ref[:]
+    az_cc = azcc_ref[:]
+    az_ff = azff_ref[:]
+    roll = pltpu.roll
+
+    def ixf_(q):
+        return 0.5 * (q + roll(q, 1, 0))
+
+    def iyf_(q):
+        return 0.5 * (q + roll(q, 1, 1))
+
+    m_cc = h * a * rho
+    P = Pstar * h * jnp.exp(-Chard * (1 - a))
+    Pff = ixf_(iyf_(P))
+    m_ff = ixf_(iyf_(m_cc))
+    m_fc = ixf_(m_cc)
+    a_fc = ixf_(a)
+    m_cf = iyf_(m_cc)
+    a_cf = iyf_(a)
+
+    gcc = jnp.where(m_cc > 0,
+                    cadt / (jnp.where(m_cc > 0, m_cc, 1.0) * az_cc), -1.0)
+    gff = jnp.where(m_ff > 0,
+                    cadt / (jnp.where(m_ff > 0, m_ff, 1.0) * az_ff), -1.0)
+    ok_u = m_fc > 0
+    invm_u = jnp.where(ok_u, 1.0 / jnp.where(ok_u, m_fc, 1.0), 0.0)
+    ok_v = m_cf > 0
+    invm_v = jnp.where(ok_v, 1.0 / jnp.where(ok_v, m_cf, 1.0), 0.0)
+    drag_u = invm_u * a_fc
+    drag_v = invm_v * a_cf
+    act_u = ((m_fc >= mass_min) & (a_fc >= conc_min)).astype(jnp.float32)
+    act_v = ((m_cf >= mass_min) & (a_cf >= conc_min)).astype(jnp.float32)
+
+    TX = oP.shape[0]
+    TY = oP.shape[1]
+    Wx = (h.shape[0] - TX) // 2
+    Wy = (h.shape[1] - TY) // 2
+    sx = slice(Wx, Wx + TX)
+    sy = slice(Wy, Wy + TY)
+    for ref, q in ((oP, P), (oPff, Pff), (ogcc, gcc), (ogff, gff),
+                   (odrag_u, drag_u), (oinvm_u, invm_u), (oact_u, act_u),
+                   (odrag_v, drag_v), (oinvm_v, invm_v), (oact_v, act_v)):
+        ref[:] = q[sx, sy]
+
+
+def _fixed_tile_prepare_curv(model, h, a, dt, fixed, interpret):
+    """Run `_prep_kernel_curv` over fixed (TX, TY) tiles of the padded
+    arrays; returns the 10 coefficient arrays on the padded shape."""
+    grid = model.grid
+    dyn = model.dynamics
+    rheo = dyn.rheology
+    TX, TY = fixed
+    Wx, Wy = 8, 64     # prep stencil radius 1: pinned small overlaps
+    nxp, nyp = grid.nxp, grid.nyp
+    ntx, nty = -(-nxp // TX), -(-nyp // TY)
+    bx, by = TX + 2 * Wx, TY + 2 * Wy
+
+    wrap_x = grid.topology[0] == PERIODIC and not _meshed(grid, 0)
+    wrap_y = grid.topology[1] == PERIODIC and not _meshed(grid, 1)
+    idx_x, _ = _tile_indices(nxp, grid.Nx, grid.Hx, ntx, TX, Wx, wrap_x)
+    idx_y, _ = _tile_indices(nyp, grid.Ny, grid.Hy, nty, TY, Wy, wrap_y)
+
+    def slab(q):
+        return q[idx_x][:, idx_y]
+
+    def met(name):
+        return jnp.broadcast_to(
+            jnp.asarray(getattr(grid, name), jnp.float32), grid.shape)
+
+    params = jnp.stack([
+        jnp.asarray(model.sea_ice_density, jnp.float32),
+        jnp.asarray(rheo.ice_compressive_strength, jnp.float32),
+        jnp.asarray(rheo.ice_compaction_hardening, jnp.float32),
+        jnp.asarray(rheo.relaxation_strength, jnp.float32)
+        * jnp.asarray(dt, jnp.float32),
+        jnp.asarray(dyn.minimum_mass, jnp.float32),
+        jnp.asarray(dyn.minimum_concentration, jnp.float32)])
+
+    blk_in = pl.BlockSpec((bx, by), lambda i, j: (i, j),
+                          memory_space=pltpu.VMEM)
+    blk_out = pl.BlockSpec((TX, TY), lambda i, j: (i, j),
+                           memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _prep_kernel_curv,
+        grid=(ntx, nty),
+        out_shape=[jax.ShapeDtypeStruct((ntx * TX, nty * TY),
+                                        jnp.float32)] * 10,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [blk_in] * 4,
+        out_specs=[blk_out] * 10,
+        interpret=interpret,
+        **vmem_compiler_params(interpret),
+    )(params, slab(h), slab(a), slab(met("az_cc")), slab(met("az_ff")))
+    return tuple(q[:nxp, :nyp] for q in outs)
 
 
 def _tile_indices(ext, n_int, H, n_tiles, T, W, wrap):
@@ -766,7 +944,11 @@ def tiled_curvilinear_momentum_step(model, state, dt, u_start, v_start,
     nsub = model.dynamics.solver.substeps
     mult = _MULT_DRAG if _drag_on(model) else _MULT
     widen = grid0.north_fold and grid0.mesh_axes is None
-    plan = _plan_tiles(grid0, nsub, mult, widen_fold=widen)
+    fixed = getattr(model.dynamics.solver, "fixed_tiles", None)
+    if fixed is not None:
+        plan = _fixed_plan(grid0, nsub, fixed, mult, widen_fold=widen)
+    else:
+        plan = _plan_tiles(grid0, nsub, mult, widen_fold=widen)
     if plan is None:
         raise ValueError("tiled curvilinear EVP: no tile plan fits VMEM")
     K, TX, TY, Wx, Wy = plan
@@ -785,7 +967,7 @@ def tiled_curvilinear_momentum_step(model, state, dt, u_start, v_start,
     bx, by = TX + 2 * Wx, TY + 2 * Wy
 
     params, consts, carry_in, P, has_drag = _prepare_tiled_inputs(
-        model, state, dt, u_start, v_start)
+        model, state, dt, u_start, v_start, fixed=fixed, interpret=interpret)
 
     wrap_x = grid.topology[0] == PERIODIC and not _meshed(grid, 0)
     wrap_y = grid.topology[1] == PERIODIC and not _meshed(grid, 1)
@@ -878,9 +1060,14 @@ def tiled_curvilinear_momentum_step(model, state, dt, u_start, v_start,
         s22 = crop_back(s22, ("c", "c"))
         s12 = crop_back(s12, ("f", "f"))
         alpha = fill_halos_cc_local(crop_back(alpha, ("c", "c")), grid0)
-        # P on the original padding, exactly as the jnp path computes it
-        from .rheologies import ice_strength
-        P = ice_strength(model.dynamics.rheology, state0.h, state0.a)
+        if fixed is not None:
+            # decomposition-invariant P (pointwise in fold-consistent h, a,
+            # so the local cc fill rebuilds exact halos)
+            P = fill_halos_cc_local(crop_back(P, ("c", "c")), grid0)
+        else:
+            # P on the original padding, exactly as the jnp path computes it
+            from .rheologies import ice_strength
+            P = ice_strength(model.dynamics.rheology, state0.h, state0.a)
     else:
         gout = grid
 

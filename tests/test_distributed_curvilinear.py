@@ -193,3 +193,74 @@ def test_wide_halo_fold_x_split_rejected():
     model = csi.sea_ice_model(grid, dynamics=dynamics, ice_thermodynamics=None)
     with pytest.raises(NotImplementedError, match="fold"):
         make_distributed_step(model, (2, 2))
+
+
+# --- fixed-tile bitwise mode on the flagship grid family ----------------------
+
+def test_fixed_tiles_tripolar_bitwise():
+    """f32 serial ≡ distributed BITWISE on an immersed TripolarGrid at the
+    reference default α⁺=300 (where free-shape compilations diverge to
+    ~1e-2): with ``fixed_tiles`` the tiled curvilinear fused kernel AND the
+    mass/strength coefficient prepare run the same Mosaic block shape in
+    serial and every wide-halo shard, so the EVP arithmetic does not depend
+    on the decomposition — the reference's exact-equality bar
+    (`distributed_tests_utils.jl:83-86`) on its hardest grid
+    (`distributed_tests_utils.jl:170-259`: fold + land, fold on the top
+    rank)."""
+    grid = TripolarGrid((32, 96), southernmost_latitude=-70.0, halo=5,
+                        dtype="float32")
+    Nx, Ny = grid.Nx, grid.Ny
+    land = np.zeros((Nx, Ny), bool)
+    land[:, :3] = True                    # southern cap
+    land[10:16, 80:] = True               # landmass reaching the fold
+    grid = csi.ImmersedBoundaryGrid(grid, land)
+
+    dynamics = csi.SeaIceMomentumEquation(
+        rheology=csi.ElastoViscoPlasticRheology(ice_compressive_strength=27.5),
+        top_momentum_stress={"u": 0.02, "v": 0.01},
+        bottom_momentum_stress=csi.SemiImplicitStress(),
+        solver=csi.SplitExplicitSolver(substeps=8, halo_exchange="wide",
+                                       fused="always", fixed_tiles=(8, 128)))
+    model = csi.sea_ice_model(grid, dynamics=dynamics, ice_thermodynamics=None,
+                              advection=None, timestepper="ForwardEuler")
+    rng = np.random.default_rng(11)
+    state = csi.initial_state(model, h=0.5 + 0.1 * rng.random((Nx, Ny)),
+                              a=1.0, u=0.05)
+
+    # guard against a silent jnp fallback (which would void the bitwise claim)
+    from climaseaice_jl_tpu.dynamics.pallas_evp_tiled_curvilinear import (
+        tiled_curvilinear_available)
+    assert tiled_curvilinear_available(model)
+
+    serial = _run_serial(model, state, 5, 60.0)
+
+    # physics guard: the fixed-tile kernel + Pallas prepare must match the
+    # free-shape path (catches const-splice/order errors that a bitwise
+    # serial≡distributed check alone cannot — both sides would be wrong
+    # identically).  One step keeps the α⁺=300 amplification bounded.
+    import dataclasses
+    free_dyn = dataclasses.replace(
+        dynamics, solver=csi.SplitExplicitSolver(substeps=8,
+                                                 halo_exchange="wide",
+                                                 fused="always"))
+    free_model = csi.sea_ice_model(grid, dynamics=free_dyn,
+                                   ice_thermodynamics=None, advection=None,
+                                   timestepper="ForwardEuler")
+    s1_fixed = _run_serial(model, state, 1, 60.0)
+    s1_free = _run_serial(free_model, state, 1, 60.0)
+    I = model.grid.interior
+    for name in ("u", "v", "sig11"):
+        np.testing.assert_allclose(
+            np.asarray(I(getattr(s1_fixed, name))),
+            np.asarray(I(getattr(s1_free, name))),
+            rtol=2e-4, atol=1e-6, err_msg=f"fixed vs free-shape {name}")
+
+    for mesh_shape in ((1, 2), (1, 4)):
+        dist = _run_distributed(model, state, 5, 60.0, mesh_shape)
+        for name in ("u", "v", "sig11", "sig12", "alpha"):
+            a = np.asarray(I(getattr(serial, name)))
+            b = np.asarray(I(getattr(dist, name)))
+            assert np.isfinite(b).all(), name
+            assert np.array_equal(a, b), \
+                f"fixed-tile tripolar {name} {mesh_shape} not bitwise: " \
+                f"{np.abs(a - b).max()}"
