@@ -12,8 +12,12 @@ fixed-tile EVP kernel, completing the reference's exact serial≡distributed
 equality bar `test/distributed_tests_utils.jl:83-86` for the full
 dynamics+advection step).
 
-Eligibility mirrors the fixed-tile EVP path: uniform rectilinear f32 grids,
-``fixed_tiles`` set, tracer halos ≥ the scheme's stencil radius.  Tiles are
+Eligibility mirrors the fixed-tile EVP path: f32 grids, ``fixed_tiles``
+set, tracer halos ≥ the scheme's stencil radius.  Array-metric grids
+(latlon/curvilinear/tripolar) pass Δy_fc/Δx_cf/Az_cc as tile slabs and run
+the flux-form divergence with the jnp path's exact op order; the Zipper
+fold needs no in-kernel handling because advection — unlike the EVP loop —
+is a single stencil application over pre-filled halos.  Tiles are
 gathered exactly like pallas_evp_tiled_curvilinear (periodic-unmeshed dims
 wrap, others clamp — clamped cells are never read by valid outputs since the
 overlap exceeds the stencil radius).
@@ -135,8 +139,11 @@ def _recon(scheme, c, axis, sp, sm):
     return side(left_stencil), side(right_stencil)
 
 
-def _adv_kernel(sx, sy, has_masks,
+def _adv_kernel(sx, sy, has_masks, arr_mets,
                 params_ref, u_ref, v_ref, *refs):
+    if arr_mets:
+        dyfc_ref, dxcf_ref, azcc_ref = refs[:3]
+        refs = refs[3:]
     if has_masks:
         mfc_ref, mcf_ref, c_ref, o_ref = refs
     else:
@@ -157,15 +164,25 @@ def _adv_kernel(sx, sy, has_masks,
 
     lx, rx = _recon(sx, c, 0, sp, sm)
     cx = jnp.where(u > 0, lx, jnp.where(u < 0, rx, 0.5 * (lx + rx)))
-    fx = u * cx
     ly, ry = _recon(sy, c, 1, sp, sm)
     cy = jnp.where(v > 0, ly, jnp.where(v < 0, ry, 0.5 * (ly + ry)))
-    fy = v * cy
-    if has_masks:
-        fx = jnp.where(mfc_ref[:] > 0.5, 0.0, fx)
-        fy = jnp.where(mcf_ref[:] > 0.5, 0.0, fy)
-    # uniform metrics: [δx(Δy·fx) + δy(Δx·fy)]/Az = δx(fx)/Δx + δy(fy)/Δy
-    div = ((sm(fx, 0, 1) - fx) * inv_dx + (sm(fy, 1, 1) - fy) * inv_dy)
+    if arr_mets:
+        # flux-form with array metrics, op order exactly as the jnp path
+        # (advection.py:273-307): Δy·u·ĉ, Δx·v·ĉ, [δx(fx) + δy(fy)]/Az
+        fx = dyfc_ref[:] * u * cx
+        fy = dxcf_ref[:] * v * cy
+        if has_masks:
+            fx = jnp.where(mfc_ref[:] > 0.5, 0.0, fx)
+            fy = jnp.where(mcf_ref[:] > 0.5, 0.0, fy)
+        div = ((sm(fx, 0, 1) - fx) + (sm(fy, 1, 1) - fy)) / azcc_ref[:]
+    else:
+        fx = u * cx
+        fy = v * cy
+        if has_masks:
+            fx = jnp.where(mfc_ref[:] > 0.5, 0.0, fx)
+            fy = jnp.where(mcf_ref[:] > 0.5, 0.0, fy)
+        # uniform metrics: [δx(Δy·fx) + δy(Δx·fy)]/Az = δx(fx)/Δx + δy(fy)/Δy
+        div = ((sm(fx, 0, 1) - fx) * inv_dx + (sm(fy, 1, 1) - fy) * inv_dy)
 
     TX = o_ref.shape[0]
     TY = o_ref.shape[1]
@@ -190,8 +207,12 @@ def make_fixed_tile_div(model, u, v):
     ntx, nty = -(-nxp // TX), -(-nyp // TY)
     bx, by = TX + 2 * Wx, TY + 2 * Wy
 
-    params = jnp.stack([1.0 / jnp.asarray(grid.dx_cc, jnp.float32),
-                        1.0 / jnp.asarray(grid.dy_cc, jnp.float32)])
+    arr_mets = _array_metrics(grid)
+    if arr_mets:
+        params = jnp.zeros(2, jnp.float32)  # unused in the array-metric form
+    else:
+        params = jnp.stack([1.0 / jnp.asarray(grid.dx_cc, jnp.float32),
+                            1.0 / jnp.asarray(grid.dy_cc, jnp.float32)])
 
     wrap_x = grid.topology[0] == PERIODIC and not _meshed(grid, 0)
     wrap_y = grid.topology[1] == PERIODIC and not _meshed(grid, 1)
@@ -200,6 +221,13 @@ def make_fixed_tile_div(model, u, v):
 
     def slab(q):
         return q[idx_x][:, idx_y]
+
+    def met(name):
+        return jnp.broadcast_to(
+            jnp.asarray(getattr(grid, name), jnp.float32), grid.shape)
+
+    met_slabs = ([slab(met("dy_fc")), slab(met("dx_cf")),
+                  slab(met("az_cc"))] if arr_mets else [])
 
     masks = model.masks
     has_masks = masks.per_fc is not None
@@ -213,7 +241,7 @@ def make_fixed_tile_div(model, u, v):
     # every tracer call, so gather once.
     u_slab, v_slab = slab(u), slab(v)
 
-    kernel = functools.partial(_adv_kernel, sx, sy, has_masks)
+    kernel = functools.partial(_adv_kernel, sx, sy, has_masks, arr_mets)
     blk_in = pl.BlockSpec((bx, by), lambda i, j: (i, j),
                           memory_space=pltpu.VMEM)
     blk_out = pl.BlockSpec((TX, TY), lambda i, j: (i, j),
@@ -227,11 +255,11 @@ def make_fixed_tile_div(model, u, v):
             grid=(ntx, nty),
             out_shape=jax.ShapeDtypeStruct((ntx * TX, nty * TY), jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [blk_in] * (3 + len(mask_slabs)),
+            + [blk_in] * (3 + len(met_slabs) + len(mask_slabs)),
             out_specs=blk_out,
             interpret=interpret,
             **vmem_compiler_params(interpret),
-        )(params, u_slab, v_slab, *mask_slabs, slab(c))
+        )(params, u_slab, v_slab, *met_slabs, *mask_slabs, slab(c))
         return out[:nxp, :nyp]
 
     return div

@@ -197,7 +197,8 @@ def test_wide_halo_fold_x_split_rejected():
 
 # --- fixed-tile bitwise mode on the flagship grid family ----------------------
 
-def test_fixed_tiles_tripolar_bitwise():
+@pytest.mark.parametrize("advect", [False, True])
+def test_fixed_tiles_tripolar_bitwise(advect):
     """f32 serial ≡ distributed BITWISE on an immersed TripolarGrid at the
     reference default α⁺=300 (where free-shape compilations diverge to
     ~1e-2): with ``fixed_tiles`` the tiled curvilinear fused kernel AND the
@@ -206,7 +207,8 @@ def test_fixed_tiles_tripolar_bitwise():
     on the decomposition — the reference's exact-equality bar
     (`distributed_tests_utils.jl:83-86`) on its hardest grid
     (`distributed_tests_utils.jl:170-259`: fold + land, fold on the top
-    rank)."""
+    rank).  ``advect=True`` runs the FULL step: the WENO-7 tracer advection
+    also runs on fixed tiles with array metrics, so h/ℵ stay bitwise too."""
     grid = TripolarGrid((32, 96), southernmost_latitude=-70.0, halo=5,
                         dtype="float32")
     Nx, Ny = grid.Nx, grid.Ny
@@ -222,7 +224,8 @@ def test_fixed_tiles_tripolar_bitwise():
         solver=csi.SplitExplicitSolver(substeps=8, halo_exchange="wide",
                                        fused="always", fixed_tiles=(8, 128)))
     model = csi.sea_ice_model(grid, dynamics=dynamics, ice_thermodynamics=None,
-                              advection=None, timestepper="ForwardEuler")
+                              advection=csi.WENO(order=7) if advect else None,
+                              timestepper="ForwardEuler")
     rng = np.random.default_rng(11)
     state = csi.initial_state(model, h=0.5 + 0.1 * rng.random((Nx, Ny)),
                               a=1.0, u=0.05)
@@ -230,7 +233,11 @@ def test_fixed_tiles_tripolar_bitwise():
     # guard against a silent jnp fallback (which would void the bitwise claim)
     from climaseaice_jl_tpu.dynamics.pallas_evp_tiled_curvilinear import (
         tiled_curvilinear_available)
+    from climaseaice_jl_tpu.dynamics.pallas_advection import (
+        fixed_tile_advection_available)
     assert tiled_curvilinear_available(model)
+    if advect:
+        assert fixed_tile_advection_available(model)
 
     serial = _run_serial(model, state, 5, 60.0)
 
@@ -243,21 +250,24 @@ def test_fixed_tiles_tripolar_bitwise():
         dynamics, solver=csi.SplitExplicitSolver(substeps=8,
                                                  halo_exchange="wide",
                                                  fused="always"))
-    free_model = csi.sea_ice_model(grid, dynamics=free_dyn,
-                                   ice_thermodynamics=None, advection=None,
-                                   timestepper="ForwardEuler")
+    free_model = csi.sea_ice_model(
+        grid, dynamics=free_dyn, ice_thermodynamics=None,
+        advection=csi.WENO(order=7) if advect else None,
+        timestepper="ForwardEuler")
     s1_fixed = _run_serial(model, state, 1, 60.0)
     s1_free = _run_serial(free_model, state, 1, 60.0)
     I = model.grid.interior
-    for name in ("u", "v", "sig11"):
+    for name in ("u", "v", "sig11", "h", "a"):
         np.testing.assert_allclose(
             np.asarray(I(getattr(s1_fixed, name))),
             np.asarray(I(getattr(s1_free, name))),
             rtol=2e-4, atol=1e-6, err_msg=f"fixed vs free-shape {name}")
 
+    fields = ("u", "v", "sig11", "sig12", "alpha") + (
+        ("h", "a") if advect else ())
     for mesh_shape in ((1, 2), (1, 4)):
         dist = _run_distributed(model, state, 5, 60.0, mesh_shape)
-        for name in ("u", "v", "sig11", "sig12", "alpha"):
+        for name in fields:
             a = np.asarray(I(getattr(serial, name)))
             b = np.asarray(I(getattr(dist, name)))
             assert np.isfinite(b).all(), name

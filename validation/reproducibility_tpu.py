@@ -41,9 +41,10 @@ def build(halo):
 
 def build_tripolar(halo):
     """The flagship grid family: immersed TripolarGrid (fold + land) through
-    the fixed-tile tiled curvilinear kernel (advection off — the dynamics
-    bitwise contract; see tests/test_distributed_curvilinear.py::
-    test_fixed_tiles_tripolar_bitwise for the meshed assertion)."""
+    the fixed-tile tiled curvilinear kernel + fixed-tile WENO-7 advection
+    with array metrics — the FULL dynamics+advection step (see
+    tests/test_distributed_curvilinear.py::test_fixed_tiles_tripolar_bitwise
+    for the meshed assertion)."""
     from climaseaice_jl_tpu.grids import TripolarGrid
     grid = TripolarGrid((32, 96), southernmost_latitude=-70.0, halo=halo,
                         dtype="float32")
@@ -59,7 +60,8 @@ def build_tripolar(halo):
         solver=csi.SplitExplicitSolver(substeps=8, halo_exchange="wide",
                                        fused="always", fixed_tiles=(8, 128)))
     model = csi.sea_ice_model(grid, dynamics=dynamics, ice_thermodynamics=None,
-                              advection=None, timestepper="ForwardEuler")
+                              advection=csi.WENO(order=7),
+                              timestepper="ForwardEuler")
     rng = np.random.default_rng(11)
     return model, csi.initial_state(model, h=0.5 + 0.1 * rng.random((Nx, Ny)),
                                     a=1.0, u=0.05)
@@ -88,7 +90,7 @@ def main():
     ok = check("rectilinear halo5-vs-19", build, (5, 19),
                ("u", "v", "h", "a", "sig11", "sig12"))
     ok &= check("tripolar halo5-vs-19", build_tripolar, (5, 19),
-                ("u", "v", "sig11", "sig12", "alpha"))
+                ("u", "v", "h", "a", "sig11", "sig12", "alpha"))
     print("RESULT:", "BITWISE" if ok else "NOT BITWISE")
 
 
