@@ -101,24 +101,27 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_mesh_matches_serial(tmp_path):
-    worker = tmp_path / "worker.py"
-    worker.write_text(WORKER)
-    prefix = str(tmp_path / "out")
+def _run_workers(tmp_path, script, name, nproc, local_devices, prefix):
+    worker = tmp_path / name
+    worker.write_text(script)
     port = _free_port()
-
     env = dict(os.environ)
     env.update(PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
-               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               XLA_FLAGS=f"--xla_force_host_platform_device_count={local_devices}",
                PYTHONPATH=REPO)
     procs = [subprocess.Popen(
-        [sys.executable, str(worker), str(p), "2", str(port), prefix],
+        [sys.executable, str(worker), str(p), str(nproc), str(port), prefix],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for p in range(2)]
+        for p in range(nproc)]
     outs = [p.communicate(timeout=600)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
         assert "OK" in out
+
+
+def test_two_process_mesh_matches_serial(tmp_path):
+    prefix = str(tmp_path / "out")
+    _run_workers(tmp_path, WORKER, "worker.py", 2, 4, prefix)
 
     # serial reference in-process (same f64 CPU config via conftest)
     ns = {}
@@ -202,23 +205,8 @@ def test_two_process_immersed_tripolar_fold(tmp_path):
     """Immersed tripolar with the Zipper fold handled on the top-rank shard,
     across two real processes (`distributed_tests_utils.jl:231-257` × real
     MPI-style spawning of `test_distributed_sea_ice.jl:40-64`)."""
-    worker = tmp_path / "worker_tri.py"
-    worker.write_text(TRIPOLAR_WORKER)
     prefix = str(tmp_path / "tri")
-    port = _free_port()
-
-    env = dict(os.environ)
-    env.update(PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
-               XLA_FLAGS="--xla_force_host_platform_device_count=2",
-               PYTHONPATH=REPO)
-    procs = [subprocess.Popen(
-        [sys.executable, str(worker), str(p), "2", str(port), prefix],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for p in range(2)]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
-        assert "OK" in out
+    _run_workers(tmp_path, TRIPOLAR_WORKER, "worker_tri.py", 2, 2, prefix)
 
     ns = {}
     exec(compile(TRIPOLAR_CONFIG, "<config>", "exec"), ns)
@@ -297,23 +285,8 @@ def test_four_process_wide_halo_fixed_tiles_bitwise(tmp_path):
     reassembled run must be BITWISE equal to serial (advection off, f32 —
     the reference's exact-equality bar, `distributed_tests_utils.jl:83-86`,
     on the hardest execution combination)."""
-    worker = tmp_path / "worker_fixed.py"
-    worker.write_text(FIXED_WORKER)
     prefix = str(tmp_path / "fixed")
-    port = _free_port()
-
-    env = dict(os.environ)
-    env.update(PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
-               XLA_FLAGS="--xla_force_host_platform_device_count=2",
-               PYTHONPATH=REPO)
-    procs = [subprocess.Popen(
-        [sys.executable, str(worker), str(p), "4", str(port), prefix],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for p in range(4)]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
-        assert "OK" in out
+    _run_workers(tmp_path, FIXED_WORKER, "worker_fixed.py", 4, 2, prefix)
 
     ns = {}
     exec(compile(FIXED_CONFIG, "<config>", "exec"), ns)
@@ -326,5 +299,89 @@ def test_four_process_wide_halo_fixed_tiles_bitwise(tmp_path):
     I = model.grid.interior
     for name in ("u", "v", "sig11", "sig12"):
         ref = np.asarray(I(getattr(state, name)))
+        assert np.isfinite(got[name]).all(), name
+        np.testing.assert_array_equal(got[name], ref, err_msg=name)
+
+
+# --- capstone: 4 processes × flagship grid × reproducibility mode × advection
+
+TRIFIXED_CONFIG = '''
+import numpy as np
+import climaseaice_jl_tpu as csi
+
+STEPS = 5
+DT = 60.0
+
+def build():
+    grid = csi.TripolarGrid((32, 96), southernmost_latitude=-70.0, halo=5,
+                            dtype="float32")
+    land = np.zeros((32, 96), bool)
+    land[:, :3] = True                    # southern cap
+    land[10:16, 80:] = True               # landmass reaching the fold
+    grid = csi.ImmersedBoundaryGrid(grid, land)
+    dyn = csi.SeaIceMomentumEquation(
+        rheology=csi.ElastoViscoPlasticRheology(ice_compressive_strength=27.5),
+        top_momentum_stress={"u": 0.02, "v": 0.01},
+        bottom_momentum_stress=csi.SemiImplicitStress(),
+        solver=csi.SplitExplicitSolver(substeps=8, halo_exchange="wide",
+                                       fused="always", fixed_tiles=(8, 128)))
+    model = csi.sea_ice_model(grid, dynamics=dyn, ice_thermodynamics=None,
+                              advection=csi.WENO(order=7),
+                              timestepper="ForwardEuler")
+    rng = np.random.default_rng(11)
+    state = csi.initial_state(model, h=0.5 + 0.1 * rng.random((32, 96)),
+                              a=1.0, u=0.05)
+    return model, state
+'''
+
+TRIFIXED_WORKER = TRIFIXED_CONFIG + '''
+import sys
+import jax
+
+pid, nproc, port, prefix = (int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
+                            sys.argv[4])
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nproc, process_id=pid)
+assert len(jax.devices()) == 4
+
+from climaseaice_jl_tpu.parallel import (make_distributed_step, shard_state,
+                                         save_rank_snapshot)
+from climaseaice_jl_tpu.parallel.stepper import strip_halos
+
+model, state = build()
+dstep, mesh = make_distributed_step(model, (1, 4))   # fold lives on rank 3
+s = shard_state(strip_halos(model, state), mesh)
+for it in range(1, STEPS + 1):
+    s = dstep(s, DT)
+save_rank_snapshot(prefix, s, STEPS, time=STEPS * DT,
+                   outputs=("u", "v", "h", "a", "sig11"))
+print(f"[rank {pid}] OK", flush=True)
+'''
+
+
+def test_four_process_tripolar_fold_fixed_tiles_full_step_bitwise(tmp_path):
+    """The capstone combination: FOUR real OS processes on a (1,4) mesh over
+    an immersed TripolarGrid (land into the fold, fold on the top rank),
+    wide-halo EVP with per-shard fixed-tile fused Pallas kernels AND
+    fixed-tile WENO-7 advection — the FULL f32 step, including tracers, must
+    reassemble BITWISE equal to serial.  This is the reference's
+    exact-equality bar (`distributed_tests_utils.jl:83-86`) on its hardest
+    grid (`distributed_tests_utils.jl:170-259`) with real spawned processes
+    (`test_distributed_sea_ice.jl:40-64`)."""
+    prefix = str(tmp_path / "trifixed")
+    _run_workers(tmp_path, TRIFIXED_WORKER, "worker_trifixed.py", 4, 1, prefix)
+
+    ns = {}
+    exec(compile(TRIFIXED_CONFIG, "<config>", "exec"), ns)
+    model, state = ns["build"]()
+    for _ in range(ns["STEPS"]):
+        state = csi.step(model, state, ns["DT"])
+
+    from climaseaice_jl_tpu.parallel import reassemble_rank_snapshots
+    from climaseaice_jl_tpu.parallel.stepper import _strip_one
+    got = reassemble_rank_snapshots(prefix, ns["STEPS"], (32, 96))
+    for name in ("u", "v", "h", "a", "sig11"):
+        # folded grids store y-face fields seam-shifted (stepper._Y_FACE_FIELDS)
+        ref = np.asarray(_strip_one(name, getattr(state, name), model.grid))
         assert np.isfinite(got[name]).all(), name
         np.testing.assert_array_equal(got[name], ref, err_msg=name)

@@ -32,13 +32,19 @@ def main():
     ap.add_argument("--substeps", type=int, default=120)
     ap.add_argument("--dt", type=float, default=300.0)
     ap.add_argument("--fused", default="auto")
+    ap.add_argument("--fixed-tiles", default=None,
+                    help="TXxTY: run the bitwise-reproducibility mode "
+                         "(pinned tile shape + Pallas coefficient prepare)")
     args = ap.parse_args()
     Nx, Ny = map(int, args.size.split("x"))
 
     model, state = build(Nx, Ny, substeps=args.substeps)
-    if args.fused != "auto":
+    if args.fused != "auto" or args.fixed_tiles:
         import dataclasses
-        solver = dataclasses.replace(model.dynamics.solver, fused=args.fused)
+        fixed = (tuple(map(int, args.fixed_tiles.split("x")))
+                 if args.fixed_tiles else None)
+        solver = dataclasses.replace(model.dynamics.solver, fused=args.fused,
+                                     fixed_tiles=fixed)
         dyn = dataclasses.replace(model.dynamics, solver=solver)
         model = model.evolve(dynamics=dyn)
 
