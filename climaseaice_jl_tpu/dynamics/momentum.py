@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
@@ -251,6 +252,216 @@ def explicit_momentum_step(model, state, fields, dt, u_prev, v_prev):
 
 # --- split-explicit αEVP solver ----------------------------------------------
 
+def _make_evp_substep(model, state, dt, clock, P, un, vn, halo_u, halo_v):
+    """One αEVP substep as a reusable closure: ``one(u, v, s11, s22, s12,
+    alpha, substep) -> (u, v, s11, s22, s12, alpha, Delta, zcc, zff)``.
+
+    Factored out of :func:`split_explicit_momentum_step` so the overlapped
+    -exchange mode can instantiate the *same* substep on narrow boundary-band
+    submodels (sliced grid/masks/stresses) as well as on the full shard."""
+    dyn = model.dynamics
+    rheo = dyn.rheology
+    grid = model.grid
+    masks = model.masks
+    substeps = dyn.solver.substeps
+    h, a = state.h, state.a
+    rho = jnp.broadcast_to(jnp.asarray(model.sea_ice_density, grid.np_dtype),
+                           grid.shape)
+    is_evp = isinstance(rheo, ElastoViscoPlasticRheology)
+
+    m_cc = h * a * rho
+    a_fc, m_fc = ixf(a), ixf(m_cc)
+    a_cf, m_cf = iyf(a), iyf(m_cc)
+    active_u = None if masks.per_fc is None else ~masks.per_fc
+    active_v = None if masks.per_cf is None else ~masks.per_cf
+    top, bottom = dyn.top_momentum_stress, dyn.bottom_momentum_stress
+
+    def fields_of(u, v, s11, s22, s12, alpha):
+        return ModelFields(h=h, a=a, S=state.S, hs=state.hs, u=u, v=v,
+                           Tu=state.Tu, Tus=state.Tus, rho=rho,
+                           sig11=s11, sig22=s22, sig12=s12,
+                           un=un, vn=vn, P=P, alpha=alpha,
+                           tracers=state.tracers)
+
+    def u_step(u, v, s11, s22, s12, alpha, div=None):
+        f = fields_of(u, v, s11, s22, s12, alpha)
+        dtau = dt / ixf(alpha) if is_evp else dt / substeps
+        Gu, _ = velocity_tendencies(model, dyn, grid, dtau, f, clock, div=div)
+        tau_ui = (implicit_tau_x_coefficient(grid, bottom, clock, f)
+                  - implicit_tau_x_coefficient(grid, top, clock, f)
+                  ) * _inv(m_fc, m_fc > 0) * a_fc
+        tau_ui = jnp.where(m_fc <= 0, 0.0, tau_ui)
+        uD = (u + dtau * Gu) / (1 + dtau * tau_ui)
+        uF = free_drift_u(grid, dyn.free_drift, clock, f)
+        u_new = _masked_velocity(grid, uD, uF, m_fc, a_fc, dyn.minimum_mass,
+                                 dyn.minimum_concentration, active_u)
+        return halo_u(u_new)
+
+    def v_step(u, v, s11, s22, s12, alpha, div=None):
+        f = fields_of(u, v, s11, s22, s12, alpha)
+        dtau = dt / iyf(alpha) if is_evp else dt / substeps
+        _, Gv = velocity_tendencies(model, dyn, grid, dtau, f, clock, div=div)
+        tau_vi = (implicit_tau_y_coefficient(grid, bottom, clock, f)
+                  - implicit_tau_y_coefficient(grid, top, clock, f)
+                  ) * _inv(m_cf, m_cf > 0) * a_cf
+        tau_vi = jnp.where(m_cf <= 0, 0.0, tau_vi)
+        vD = (v + dtau * Gv) / (1 + dtau * tau_vi)
+        vF = free_drift_v(grid, dyn.free_drift, clock, f)
+        v_new = _masked_velocity(grid, vD, vF, m_cf, a_cf, dyn.minimum_mass,
+                                 dyn.minimum_concentration, active_v)
+        return halo_v(v_new)
+
+    def one(u, v, s11, s22, s12, alpha, Delta, zcc, zff, substep):
+        div = None
+        if is_evp:
+            strains = strain_rates(grid, u, v)
+            Delta, zcc, zff = compute_evp_viscosities(rheo, grid, u, v, P,
+                                                      strains=strains)
+            s11, s22, s12, alpha = compute_evp_stresses(
+                rheo, grid, u, v, h, a, rho, dt, s11, s22, s12,
+                Delta, zcc, zff, P, strains=strains)
+            div = stress_divergence(
+                rheo, grid, fields_of(u, v, s11, s22, s12, alpha),
+                masks=(masks.solid_cc, masks.per_ff), clock=clock)
+
+        def even_order(args):
+            u, v = args
+            u2 = u_step(u, v, s11, s22, s12, alpha, div)
+            v2 = v_step(u2, v, s11, s22, s12, alpha, div)
+            return u2, v2
+
+        def odd_order(args):
+            u, v = args
+            v2 = v_step(u, v, s11, s22, s12, alpha, div)
+            u2 = u_step(u, v2, s11, s22, s12, alpha, div)
+            return u2, v2
+
+        u, v = lax.cond(substep % 2 == 0, even_order, odd_order, (u, v))
+        return (u, v, s11, s22, s12, alpha, Delta, zcc, zff)
+
+    return one
+
+
+# --- overlapped halo exchange: boundary-band recompute --------------------------
+
+_BAND_W = 8   # interior cells per boundary band: the merge takes the 4-cell
+              # substep stencil depth, whose own stencil reads 4 more
+
+
+def _band_slicer(grid, dim, side):
+    """(cut, paste) for a (2H+_BAND_W)-cell band at one edge of dimension
+    ``dim``; ``paste`` overwrites the H+4-cell merge region (halo + the
+    4 interior cells the pre-exchange interior pass got wrong)."""
+    H = grid.Hx if dim == 0 else grid.Hy
+    n = grid.nxp if dim == 0 else grid.nyp
+    ext = 2 * H + _BAND_W
+    mw = H + 4
+    lo = side == 0
+
+    def cut(q):
+        if q is None or np.ndim(q) == 0:
+            return q
+        if dim == 0:
+            return q[:ext] if lo else q[n - ext:]
+        return q[:, :ext] if lo else q[:, n - ext:]
+
+    def paste(full, band):
+        if dim == 0:
+            return (full.at[:mw].set(band[:mw]) if lo
+                    else full.at[n - mw:].set(band[ext - mw:]))
+        return (full.at[:, :mw].set(band[:, :mw]) if lo
+                else full.at[:, n - mw:].set(band[:, ext - mw:]))
+
+    return cut, paste
+
+
+def _band_submodel(model, dim, side):
+    """Model restricted to one boundary band: sliced grid metrics/coords,
+    masks, and external stress arrays (StressFunctions re-evaluate on the
+    band grid's own coordinates).  A south/west band's fake far edge gets
+    wall/fold treatment from the in-loop local fills, but only at band cells
+    ≥ H+_BAND_W deep — outside every read of the merge region."""
+    from ..grids import _METRIC_LOCS
+    grid = model.grid
+    cut, paste = _band_slicer(grid, dim, side)
+
+    def cut_m(m):
+        if m is None or np.ndim(m) == 0:
+            return m
+        m = jnp.asarray(m)
+        if m.ndim == 2 and m.shape == grid.shape:
+            return cut(m)
+        if m.ndim == 2 and m.shape[0] == 1:   # (1, nyp) latitude row
+            return cut(m) if dim == 1 else m
+        raise NotImplementedError(f"band slice of metric shape {m.shape}")
+
+    H = grid.Hx if dim == 0 else grid.Hy
+    n = grid.nxp if dim == 0 else grid.nyp
+    ext = 2 * H + _BAND_W
+    cut1 = (lambda c: c[:ext]) if side == 0 else (lambda c: c[n - ext:])
+
+    mets = {f: cut_m(getattr(grid, f)) for f in _METRIC_LOCS}
+    kw = dict(solid_cc=cut_m(grid.solid_cc),
+              lon_cc=cut_m(grid.lon_cc), lat_cc=cut_m(grid.lat_cc), **mets)
+    if dim == 0:
+        g = grid.evolve(Nx=_BAND_W, xc=cut1(grid.xc), xf=cut1(grid.xf), **kw)
+    else:
+        g = grid.evolve(Ny=_BAND_W, yc=cut1(grid.yc), yf=cut1(grid.yf),
+                        # a south band's fake north edge is not the fold
+                        north_fold=grid.north_fold and side == 1, **kw)
+
+    m = model.masks
+    from ..model import Masks
+    bmasks = Masks(solid_cc=cut_m(m.solid_cc), per_fc=cut_m(m.per_fc),
+                   per_cf=cut_m(m.per_cf), per_ff=cut_m(m.per_ff),
+                   imm_ff=cut_m(m.imm_ff), solid_full=cut_m(m.solid_full))
+
+    dyn = model.dynamics
+    from .stresses import StressFunction, SemiImplicitStress
+
+    def cut_s(x):
+        if x is None or isinstance(x, StressFunction) or np.ndim(x) == 0:
+            return x
+        return cut(jnp.asarray(x))
+
+    top = dyn.top_momentum_stress
+    if isinstance(top, dict):
+        top = {k: cut_s(v) for k, v in top.items()}
+    else:
+        top = cut_s(top)
+    bottom = dyn.bottom_momentum_stress
+    if isinstance(bottom, SemiImplicitStress):
+        bottom = dataclasses.replace(bottom, ue=cut_s(bottom.ue),
+                                     ve=cut_s(bottom.ve))
+    bdyn = dataclasses.replace(dyn, top_momentum_stress=top,
+                               bottom_momentum_stress=bottom)
+    return model.evolve(grid=g, masks=bmasks, dynamics=bdyn), cut, paste
+
+
+def _make_bands(model, state, dt, clock, P, un, vn):
+    """One `_make_evp_substep` instance per meshed edge, on band submodels."""
+    from ..fields import (_meshed as _dim_meshed,
+                          fill_halos_fc_local, fill_halos_cf_local)
+    grid = model.grid
+    bands = []
+    for dim in (0, 1):
+        if not _dim_meshed(grid, dim):
+            continue
+        for side in (0, 1):
+            bmodel, cut, paste = _band_submodel(model, dim, side)
+            g = bmodel.grid
+            bstate = state.evolve(
+                h=cut(state.h), a=cut(state.a), hs=cut(state.hs),
+                S=cut(state.S), Tu=cut(state.Tu), Tus=cut(state.Tus),
+                tracers={k: cut(q) for k, q in (state.tracers or {}).items()})
+            one_b = _make_evp_substep(
+                bmodel, bstate, dt, clock, cut(P), cut(un), cut(vn),
+                lambda q, g=g: fill_halos_fc_local(q, g),
+                lambda q, g=g: fill_halos_cf_local(q, g))
+            bands.append((one_b, cut, paste))
+    return bands
+
+
 def split_explicit_momentum_step(model, state, dt, u_start, v_start,
                                  halo_u=None, halo_v=None):
     """The hot loop: N substeps of {αEVP stresses → alternating-leapfrog u/v}
@@ -280,16 +491,25 @@ def split_explicit_momentum_step(model, state, dt, u_start, v_start,
     # (`split_explicit_momentum_equations.jl:170-187`).
     from ..fields import _meshed as _dim_meshed
     meshed = _dim_meshed(grid, 0) or _dim_meshed(grid, 1)
-    deferred = (
-        halo_u is None and halo_v is None and meshed
-        and getattr(dyn.solver, "halo_exchange", "per_substep") == "per_substep"
-        and isinstance(dyn.rheology, ElastoViscoPlasticRheology)
-        and dyn.free_drift is None  # stencil-depth budget counted for EVP only
-        and (not _dim_meshed(grid, 0) or grid.Hx >= 4)
-        and (not _dim_meshed(grid, 1) or grid.Hy >= 4)
-        # mid-substep local fills cannot refresh a fold split across x
-        and not (grid.north_fold and _dim_meshed(grid, 0)))
-    if deferred:
+    policy = getattr(dyn.solver, "halo_exchange", "per_substep")
+
+    def _loop_local_ok(h_min):
+        return (halo_u is None and halo_v is None and meshed
+                and isinstance(dyn.rheology, ElastoViscoPlasticRheology)
+                and dyn.free_drift is None  # stencil budget counted for EVP
+                and (not _dim_meshed(grid, 0) or grid.Hx >= h_min)
+                and (not _dim_meshed(grid, 1) or grid.Hy >= h_min)
+                # mid-substep local fills cannot refresh a fold split across x
+                and not (grid.north_fold and _dim_meshed(grid, 0)))
+
+    deferred = policy == "per_substep" and _loop_local_ok(4)
+    # overlapped exchange additionally needs H ≥ 5 (the carried σ halos are
+    # exact only to depth H−1, and the band passes read them to depth 4) and
+    # local tiles wide enough to host a band
+    overlap = (policy == "overlap" and _loop_local_ok(5)
+               and (not _dim_meshed(grid, 0) or grid.Nx >= _BAND_W)
+               and (not _dim_meshed(grid, 1) or grid.Ny >= _BAND_W))
+    if deferred or overlap:
         from ..fields import (fill_halos_fc_local, fill_halos_cf_local,
                               fill_halos_uv)
         halo_u = lambda q: fill_halos_fc_local(q, grid)
@@ -308,7 +528,6 @@ def split_explicit_momentum_step(model, state, dt, u_start, v_start,
         exchange_uv = None
 
     h, a = state.h, state.a
-    rho = jnp.broadcast_to(jnp.asarray(model.sea_ice_density, grid.np_dtype), grid.shape)
     is_evp = isinstance(rheo, ElastoViscoPlasticRheology)
 
     # initialize_rheology!: P over the full array incl. halos; snapshot uⁿ, vⁿ
@@ -317,84 +536,47 @@ def split_explicit_momentum_step(model, state, dt, u_start, v_start,
     P = ice_strength(rheo, h, a) if is_evp else None
     un, vn = u_start, v_start
 
-    m_cc = h * a * rho
-    a_fc, m_fc = ixf(a), ixf(m_cc)
-    a_cf, m_cf = iyf(a), iyf(m_cc)
-    active_u = None if masks.per_fc is None else ~masks.per_fc
-    active_v = None if masks.per_cf is None else ~masks.per_cf
+    one = _make_evp_substep(model, state, dt, clock, P, un, vn,
+                            halo_u, halo_v)
 
-    top, bottom = dyn.top_momentum_stress, dyn.bottom_momentum_stress
+    if overlap:
+        bands = _make_bands(model, state, dt, clock, P, un, vn)
 
-    def fields_of(u, v, s11, s22, s12, alpha):
-        return ModelFields(h=h, a=a, S=state.S, hs=state.hs, u=u, v=v,
-                           Tu=state.Tu, Tus=state.Tus, rho=rho,
-                           sig11=s11, sig22=s22, sig12=s12,
-                           un=un, vn=vn, P=P, alpha=alpha, tracers=state.tracers)
+        def body(i, carry):
+            # Overlapped exchange (`elasto_visco_plastic_rheology.jl:276-279`
+            # + `:204-206` — post async at substep end, complete at next use):
+            # the ppermute consumes only the previous substep's edge strips
+            # and is consumed only by the narrow boundary-band recompute, so
+            # XLA's scheduler runs it concurrently with the full-shard
+            # (interior) substep, which reads the *pre-exchange* arrays —
+            # exact at ≥4 cells from a meshed edge (the substep stencil
+            # depth).  The band passes rerun the same substep on
+            # (2H+8)-cell edge strips with the fresh halos and overwrite
+            # the (H+4)-cell merge region.
+            u, v, s11, s22, s12, alpha, Delta, zcc, zff = carry
+            substep = i + 1
+            u_ex, v_ex = exchange_uv(u, v)
+            out = one(u, v, s11, s22, s12, alpha, Delta, zcc, zff, substep)
+            for one_b, cut, paste in bands:
+                b = one_b(cut(u_ex), cut(v_ex), cut(s11), cut(s22),
+                          cut(s12), cut(alpha), cut(Delta), cut(zcc),
+                          cut(zff), substep)
+                out = tuple(paste(o, q) for o, q in zip(out, b))
+            return out
+    elif exchange_uv is not None:
 
-    def u_step(u, v, s11, s22, s12, alpha, div=None):
-        f = fields_of(u, v, s11, s22, s12, alpha)
-        # compute_substep_Δt: Δt/ᾱ for αEVP, Δt/substeps otherwise
-        dtau = dt / ixf(alpha) if is_evp else dt / substeps
-        Gu, _ = velocity_tendencies(model, dyn, grid, dtau, f, clock, div=div)
-        tau_ui = (implicit_tau_x_coefficient(grid, bottom, clock, f)
-                  - implicit_tau_x_coefficient(grid, top, clock, f)) * _inv(m_fc, m_fc > 0) * a_fc
-        tau_ui = jnp.where(m_fc <= 0, 0.0, tau_ui)
-        uD = (u + dtau * Gu) / (1 + dtau * tau_ui)
-        uF = free_drift_u(grid, dyn.free_drift, clock, f)
-        u_new = _masked_velocity(grid, uD, uF, m_fc, a_fc,
-                                 dyn.minimum_mass, dyn.minimum_concentration, active_u)
-        return halo_u(u_new)
+        def body(i, carry):
+            u, v, s11, s22, s12, alpha, Delta, zcc, zff = carry
+            out = one(u, v, s11, s22, s12, alpha, Delta, zcc, zff, i + 1)
+            u2, v2 = exchange_uv(out[0], out[1])
+            return (u2, v2) + out[2:]
+    else:
 
-    def v_step(u, v, s11, s22, s12, alpha, div=None):
-        f = fields_of(u, v, s11, s22, s12, alpha)
-        dtau = dt / iyf(alpha) if is_evp else dt / substeps
-        _, Gv = velocity_tendencies(model, dyn, grid, dtau, f, clock, div=div)
-        tau_vi = (implicit_tau_y_coefficient(grid, bottom, clock, f)
-                  - implicit_tau_y_coefficient(grid, top, clock, f)) * _inv(m_cf, m_cf > 0) * a_cf
-        tau_vi = jnp.where(m_cf <= 0, 0.0, tau_vi)
-        vD = (v + dtau * Gv) / (1 + dtau * tau_vi)
-        vF = free_drift_v(grid, dyn.free_drift, clock, f)
-        v_new = _masked_velocity(grid, vD, vF, m_cf, a_cf,
-                                 dyn.minimum_mass, dyn.minimum_concentration, active_v)
-        return halo_v(v_new)
+        def body(i, carry):
+            u, v, s11, s22, s12, alpha, Delta, zcc, zff = carry
+            return one(u, v, s11, s22, s12, alpha, Delta, zcc, zff, i + 1)
 
-    def body(i, carry):
-        u, v, s11, s22, s12, alpha, Delta, zcc, zff = carry
-        # compute_stresses!: viscosities then αEVP stress relaxation
-        # (no-op for non-EVP rheologies, `Rheologies.jl:44-47`)
-        div = None
-        if is_evp:
-            strains = strain_rates(grid, u, v)
-            Delta, zcc, zff = compute_evp_viscosities(rheo, grid, u, v, P,
-                                                      strains=strains)
-            s11, s22, s12, alpha = compute_evp_stresses(
-                rheo, grid, u, v, h, a, rho, dt, s11, s22, s12, Delta, zcc, zff,
-                P, strains=strains)
-            # σ is fixed across the two half-updates below: hoist ∂ⱼσᵢⱼ
-            div = stress_divergence(
-                rheo, grid, fields_of(u, v, s11, s22, s12, alpha),
-                masks=(masks.solid_cc, masks.per_ff), clock=clock)
-
-        substep = i + 1  # reference counts substeps from 1
-
-        def even_order(args):
-            u, v = args
-            u2 = u_step(u, v, s11, s22, s12, alpha, div)
-            v2 = v_step(u2, v, s11, s22, s12, alpha, div)
-            return u2, v2
-
-        def odd_order(args):
-            u, v = args
-            v2 = v_step(u, v, s11, s22, s12, alpha, div)
-            u2 = u_step(u, v2, s11, s22, s12, alpha, div)
-            return u2, v2
-
-        u, v = lax.cond(substep % 2 == 0, even_order, odd_order, (u, v))
-        if exchange_uv is not None:
-            u, v = exchange_uv(u, v)
-        return (u, v, s11, s22, s12, alpha, Delta, zcc, zff)
-
-    if exchange_uv is not None:
+    if exchange_uv is not None and not overlap:
         u0, v0 = exchange_uv(u_start, v_start)
     else:
         u0 = halo_u(u_start)
@@ -410,13 +592,17 @@ def split_explicit_momentum_step(model, state, dt, u_start, v_start,
 
     u, v, s11, s22, s12, alpha, Delta, zcc, zff = lax.fori_loop(0, substeps, body, init)
 
+    if overlap:
+        # the loop carries stale meshed halos (exact interiors); one final
+        # exchange restores them for the advection/thermo consumers
+        u, v = exchange_uv(u, v)
+
     if not is_evp:
         return dict(u=u, v=v)
 
     # finalize_rheology!: σ halo refresh (`elasto_visco_plastic_rheology.jl:275-280`)
-    s11 = fill_halos_cc(s11, grid)
-    s22 = fill_halos_cc(s22, grid)
-    s12 = fill_halos_ff(s12, grid)
+    from ..fields import fill_halos_many
+    s11, s22, s12 = fill_halos_many((s11, s22, s12), ("cc", "cc", "ff"), grid)
 
     return dict(u=u, v=v, sig11=s11, sig22=s22, sig12=s12, alpha=alpha,
                 P=P, un=un, vn=vn, Delta=Delta, zeta_cc=zcc, zeta_ff=zff)

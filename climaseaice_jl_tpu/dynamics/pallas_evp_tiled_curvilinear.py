@@ -36,7 +36,7 @@ fold-symmetric:
   `sea_ice_model.jl:57-64` + `sea_ice_external_stress.jl:63-78`).
 
 Halo validity then shrinks ~2 cells/substep like any exchange-free region,
-so folded grids need a y-halo ≥ 2K+3; serial folded grids are widened
+so folded grids need a y-halo ≥ 2K+5; serial folded grids are widened
 in-trace (`_widen_folded`) and u/v/σ/α halos are re-imposed between chunks
 with the *local* fills (no exchange — communication avoidance preserved on
 meshed grids, where the stepper already built 2·substeps+3 halos).
@@ -60,18 +60,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..grids import PERIODIC, BOUNDED
 from .pallas_evp import (_P_DT, _P_F, _P_RC, _P_EINV2, _P_AMIN, _P_AMAX,
-                         _P_DMIN, _P_REPL, VMEM_LIMIT_MB, vmem_compiler_params)
+                         _P_CALPHA, _P_DMIN, _P_MASSMIN, _P_CONCMIN,
+                         _P_REPL, VMEM_LIMIT_MB, vmem_compiler_params)
 from .rheologies import ElastoViscoPlasticRheology
 
 # gate-vector indices (second SMEM params input)
 _G_W, _G_E, _G_S, _G_N, _NGATES = range(5)
 
 _VMEM_BUDGET = (VMEM_LIMIT_MB - 6) * 2 ** 20
-# Affine Mosaic occupancy per (bx, by) block: double-buffered 39 input
-# blocks (gx, gy, 14 metric + 18 coefficient [+4 drag] slabs, 6 carries)
-# + 6 output blocks + ~30 block-sized temporaries.
-_MULT = 150        # Mosaic occupancy per block-byte, calibrated on a v5e:
-_MULT_DRAG = 160   # measured 156.3·block at (416, 512) with ImmersedDrag
+# Affine Mosaic occupancy per (bx, by) block: the v2 kernel streams a
+# 21-plane stacked const block + a 6-plane carry block (double-buffered)
+# + one stacked output block + ~40 block-sized residents (derived metric
+# forms, in-kernel EVP coefficient block, loop temporaries).
+_MULT = 125        # Mosaic occupancy per block-byte, calibrated on a v5e
+_MULT_DRAG = 135
 
 
 def _meshed(grid, dim):
@@ -80,7 +82,13 @@ def _meshed(grid, dim):
 
 
 def _wx(K, periodic_x):
-    W = 3 * K + 3 if periodic_x else 2 * K + 3
+    # Validity shrink is 2 rings/substep (stress update: radius 1; momentum
+    # update + staggered interps: radius 1), plus 1 ring for the in-kernel
+    # radius-1 coefficient derivation, plus 1 more with ImmersedDrag (the
+    # shifted drag weights are radius 2).  2K+6 covers every case with one
+    # ring of slack; the round-4 plan search measured 2K+4 bit-identical to
+    # the old conservative 3K+3 rule on the flagship tripolar config.
+    W = 2 * K + 6
     return W + (-W) % 4  # keep bx = TX + 2W a sublane multiple (TX ≡ 0 mod 8)
 
 
@@ -98,9 +106,18 @@ def _plan_tiles(grid, nsub, mult, widen_fold=False):
     round-trip + boundary refills) under the VMEM budget and the
     single-trigger-tile constraints of the gated wall fills.
 
+    ``CSI_TC_PLAN=K,TX,TY,Wx,Wy`` overrides the search (perf sweeps on real
+    hardware without code edits); correctness is plan-independent — every
+    plan satisfying the validity-shrink rule computes the same interiors.
+
     ``widen_fold``: serial folded grids are widened to Hy = max(Hy, 2K+3)
     before tiling — the effective shape depends on K, so the search accounts
     for it per candidate.  Returns (K, TX, TY, Wx, Wy) or None."""
+    import os
+    override = os.environ.get("CSI_TC_PLAN")
+    if override:
+        K, TX, TY, Wx, Wy = map(int, override.split(","))
+        return K, TX, TY, Wx, Wy
     Hx, Nx, Ny = grid.Hx, grid.Nx, grid.Ny
     nxp = grid.nxp
     periodic_x = grid.topology[0] == PERIODIC and not _meshed(grid, 0)
@@ -109,12 +126,14 @@ def _plan_tiles(grid, nsub, mult, widen_fold=False):
     best = None
     for K in _chunk_options(nsub):
         Wx = _wx(K, periodic_x)
-        Hy = max(grid.Hy, 2 * K + 3) if widen_fold else grid.Hy
+        Hy = max(grid.Hy, 2 * K + 5) if widen_fold else grid.Hy
         nyp = Ny + 2 * Hy
         # Mosaic block-shape rule: tiled lane-dim blocks must be %128 (both
         # the TY outputs and the TY+2Wy inputs ⇒ Wy %64); sublane %8.
         # A single-tile dimension may be any size (block == array dim).
-        Wy = 64
+        # nty == 1 with bounded y needs no y-overlap at all: the south/north
+        # walls are re-imposed in-kernel every substep and the fold halo
+        # (≥ 2K+5 by the widen rule) self-evolves inside the single block.
         if True:
             for ntx in range(1, min(64, max(2, nxp // 8)) + 1):
                 need_x = -(-nxp // ntx)
@@ -129,8 +148,10 @@ def _plan_tiles(grid, nsub, mult, widen_fold=False):
                     need = -(-nyp // nty)
                     if nty == 1:
                         TY = -(-need // 8) * 8
+                        Wy = 0 if bounded_y else 64
                     else:
                         TY = -(-need // 128) * 128
+                        Wy = 64
                     if nty > 1 and nty * TY - TY >= nyp:
                         continue
                     by = TY + 2 * Wy
@@ -177,7 +198,7 @@ def _fixed_plan(grid, nsub, fixed, mult, widen_fold=False):
         return None
     Wx = _wx(K, True)    # pinned wide overlap, topology-independent
     Wy = 64
-    Hy = max(grid.Hy, 2 * K + 3) if widen_fold else grid.Hy
+    Hy = max(grid.Hy, 2 * K + 5) if widen_fold else grid.Hy
     nxp = grid.nxp
     nyp = grid.Ny + 2 * Hy
     ntx, nty = -(-nxp // TX), -(-nyp // TY)
@@ -345,7 +366,8 @@ def _widened_masks(gw, solid_int, immersed):
     else:
         imm_ff = None
     return Masks(solid_cc=full if immersed else None,
-                 per_fc=per_fc, per_cf=per_cf, per_ff=per_ff, imm_ff=imm_ff)
+                 per_fc=per_fc, per_cf=per_cf, per_ff=per_ff, imm_ff=imm_ff,
+                 solid_full=full)
 
 
 def _widen_stresses(model, state, gw):
@@ -392,7 +414,7 @@ def _widen_stresses(model, state, gw):
 
 
 def _widen_folded(model, state, u_start, v_start, K):
-    """Serial folded grid with Hy < 2K+3: widen the y halo in-trace so the
+    """Serial folded grid with Hy < 2K+5: widen the y halo in-trace so the
     fold halo survives a K-substep exchange-free chunk.  Returns
     (wmodel, wstate, wu, wv, crop) where ``crop(q, loc)`` maps a widened
     padded array back onto the original grid's padding (zeros in the old
@@ -401,7 +423,7 @@ def _widen_folded(model, state, u_start, v_start, K):
     from ..fields import FILLERS
 
     grid = model.grid
-    Hw = 2 * K + 3
+    Hw = 2 * K + 5
     Hx, Hy = grid.Hx, grid.Hy
 
     mets = {f: _jnp_repad_metric(grid, getattr(grid, f), Hx, Hw, *loc)
@@ -513,27 +535,33 @@ def _make_fillers(grid, TX, Wx, TY, Wy, edge_offsets):
 
 # --- the kernel ----------------------------------------------------------------
 
-def _tiled_curv_kernel(K, base_even, make_fillers, has_drag,
-                       params_ref, gates_ref, gx_ref, gy_ref, *refs):
-    """One K-substep chunk on one halo-extended tile.  Body mirrors
-    `pallas_evp_curvilinear._curvilinear_kernel` with the 14 derived metric
-    forms passed as tile slabs and the boundary fills gated (no fold branch:
-    the fold halo self-evolves, see module docstring)."""
-    (dyfc_ref, dxcf_ref, iazcc_ref, iazfc_ref, iazcf_ref, iazff_ref,
-     dycc2_ref, dxcc2_ref, dxff2_ref, dyff2_ref,
-     idyfc_ref, idxcf_ref, idxfc_ref, idycf_ref) = refs[:14]
-    (P_ref, Pff_ref, gcc_ref, gff_ref,
-     drag_u_ref, invm_u_ref, act_u_ref, un_ref,
-     drag_v_ref, invm_v_ref, act_v_ref, vn_ref,
-     mcc_ref, mff_ref) = refs[14:28]
-    if has_drag:
-        immsu_ref, immnu_ref, immwv_ref, immev_ref = refs[28:32]
-        rest = refs[32:]
-    else:
-        rest = refs[28:]
-    (tauu_ref, tauv_ref, ue_ref, ve_ref,
-     u_ref, v_ref, s11_ref, s22_ref, s12_ref, al_ref,
-     o_u_ref, o_v_ref, o_s11_ref, o_s22_ref, o_s12_ref, o_al_ref) = rest
+# stacked-const plane indices (the single (21, bx, by) input block): 12 raw
+# metrics, then the 9 state/forcing planes the in-kernel coefficient
+# derivation consumes
+(_C_DXCC, _C_DXFC, _C_DXCF, _C_DXFF, _C_DYCC, _C_DYFC, _C_DYCF, _C_DYFF,
+ _C_IAZCC, _C_IAZFC, _C_IAZCF, _C_IAZFF,
+ _C_H, _C_A, _C_SOLID, _C_UN, _C_VN, _C_TAUU, _C_TAUV, _C_UE, _C_VE,
+ _N_CONSTS) = range(22)
+
+# extended-params tail (appended to the pallas_evp layout)
+_PX_RHO, _PX_PSTAR, _PX_CHARD, _PX_CDRAG = 18, 19, 20, 21
+
+
+def _tiled_curv_kernel(K, base_even, make_fillers, has_drag, immersed, geom,
+                       params_ref, gates_ref, c_ref, k_ref, o_ref):
+    """One K-substep chunk on one halo-extended tile (v2).
+
+    Inputs are two stacked blocks — consts (21, bx, by) and carry (6, bx, by)
+    — one DMA each instead of ~44 per tile.  The EVP coefficient block
+    (P, Pff, masses, γ, drag, activity, peripherality) is derived here once
+    per chunk from (h, ℵ, solid) instead of being streamed: a slab diet for
+    HBM, and automatically decomposition-invariant under ``fixed_tiles``
+    (block shapes are pinned, so Mosaic emits identical per-point arithmetic
+    on every shard — subsuming the old fixed-tile prepare pass).  Tile
+    coordinates come from `program_id` + iota, not streamed slabs.  Substep
+    body math is `pallas_evp_curvilinear._curvilinear_kernel` verbatim; no
+    fold branch — the fold halo self-evolves (module docstring)."""
+    (TX, TY, Wx, Wy, Hx, Hy, Nxl, Nyl, bounded_x, bounded_y, fold) = geom
     p = params_ref
     dt = p[_P_DT]
     f_cor = p[_P_F]
@@ -543,46 +571,19 @@ def _tiled_curv_kernel(K, base_even, make_fillers, has_drag,
     a_max = p[_P_AMAX]
     d_min = p[_P_DMIN]
     repl = p[_P_REPL]
+    cadt = p[_P_CALPHA] * dt
+    mass_min = p[_P_MASSMIN]
+    conc_min = p[_P_CONCMIN]
+    rho = p[_PX_RHO]
+    Pstar = p[_PX_PSTAR]
+    Chard = p[_PX_CHARD]
 
-    dy_fc = dyfc_ref[:]
-    dx_cf = dxcf_ref[:]
-    inv_az_cc = iazcc_ref[:]
-    inv_az_fc = iazfc_ref[:]
-    inv_az_cf = iazcf_ref[:]
-    inv_az_ff = iazff_ref[:]
-    dy_cc2 = dycc2_ref[:]
-    dx_cc2 = dxcc2_ref[:]
-    dx_ff2 = dxff2_ref[:]
-    dy_ff2 = dyff2_ref[:]
-    inv_dy_fc = idyfc_ref[:]
-    inv_dx_cf = idxcf_ref[:]
-    inv_dx_fc = idxfc_ref[:]
-    inv_dy_cf = idycf_ref[:]
-
-    P = P_ref[:]
-    Pff = Pff_ref[:]
-    gcc = gcc_ref[:]
-    gff = gff_ref[:]
-    drag_u = drag_u_ref[:]
-    invm_u = invm_u_ref[:]
-    act_u = act_u_ref[:]
-    un = un_ref[:]
-    drag_v = drag_v_ref[:]
-    invm_v = invm_v_ref[:]
-    act_v = act_v_ref[:]
-    vn = vn_ref[:]
-    msk_cc = mcc_ref[:]
-    msk_ff = mff_ref[:]
-    if has_drag:
-        imms_u = immsu_ref[:]
-        immn_u = immnu_ref[:]
-        immw_v = immwv_ref[:]
-        imme_v = immev_ref[:]
-    tau_u_top = tauu_ref[:]
-    tau_v_top = tauv_ref[:]
-    ue = ue_ref[:]
-    ve = ve_ref[:]
-    fill_fc, fill_cf = make_fillers((gx_ref[:], gy_ref[:]), gates_ref)
+    bx, by = c_ref.shape[1], c_ref.shape[2]
+    gx = ((pl.program_id(0) * TX - (Wx + Hx))
+          + lax.broadcasted_iota(jnp.int32, (bx, by), 0)).astype(jnp.float32)
+    gy = ((pl.program_id(1) * TY - (Wy + Hy))
+          + lax.broadcasted_iota(jnp.int32, (bx, by), 1)).astype(jnp.float32)
+    fill_fc, fill_cf = make_fillers((gx, gy), gates_ref)
 
     roll = pltpu.roll
 
@@ -604,7 +605,84 @@ def _tiled_curv_kernel(K, base_even, make_fillers, has_drag,
     def iyc_(q):
         return 0.5 * (q + sm(q, 1))
 
-    # loop-invariant external-velocity interpolations (hoisted: consts)
+    # raw metrics → the 14 loop-invariant derived forms (in VMEM, per chunk)
+    dy_fc = c_ref[_C_DYFC]
+    dx_cf = c_ref[_C_DXCF]
+    inv_az_cc = c_ref[_C_IAZCC]
+    inv_az_fc = c_ref[_C_IAZFC]
+    inv_az_cf = c_ref[_C_IAZCF]
+    inv_az_ff = c_ref[_C_IAZFF]
+    dy_cc2 = c_ref[_C_DYCC] ** 2
+    dx_cc2 = c_ref[_C_DXCC] ** 2
+    dx_ff = c_ref[_C_DXFF]
+    dy_ff = c_ref[_C_DYFF]
+    dx_ff2 = dx_ff * dx_ff
+    dy_ff2 = dy_ff * dy_ff
+    inv_dy_fc = 1.0 / dy_fc
+    inv_dx_cf = 1.0 / dx_cf
+    inv_dx_fc = 1.0 / c_ref[_C_DXFC]
+    inv_dy_cf = 1.0 / c_ref[_C_DYCF]
+
+    # in-kernel EVP coefficient block (ops and order mirror
+    # pallas_evp_curvilinear._prepare_curvilinear_inputs exactly; radius-1
+    # stencils — the outermost block ring is priced into _wx)
+    h = c_ref[_C_H]
+    a = c_ref[_C_A]
+    solid = c_ref[_C_SOLID]
+    m_cc = h * a * rho
+    P = Pstar * h * jnp.exp(-Chard * (1.0 - a))
+    Pff = ixf_(iyf_(P))
+    m_ff = ixf_(iyf_(m_cc))
+    m_fc = ixf_(m_cc)
+    a_fc = ixf_(a)
+    m_cf = iyf_(m_cc)
+    a_cf = iyf_(a)
+    gcc = jnp.where(m_cc > 0,
+                    cadt * inv_az_cc / jnp.where(m_cc > 0, m_cc, 1.0), -1.0)
+    gff = jnp.where(m_ff > 0,
+                    cadt * inv_az_ff / jnp.where(m_ff > 0, m_ff, 1.0), -1.0)
+    ok_u = m_fc > 0
+    invm_u = jnp.where(ok_u, 1.0 / jnp.where(ok_u, m_fc, 1.0), 0.0)
+    ok_v = m_cf > 0
+    invm_v = jnp.where(ok_v, 1.0 / jnp.where(ok_v, m_cf, 1.0), 0.0)
+    drag_u = invm_u * a_fc
+    drag_v = invm_v * a_cf
+    per_fc = jnp.maximum(solid, sp(solid, 0))     # fields.peripheral_masks
+    per_cf = jnp.maximum(solid, sp(solid, 1))
+    per_ff = jnp.maximum(per_fc, sp(per_fc, 1))
+    act_u = jnp.where((m_fc >= mass_min) & (a_fc >= conc_min)
+                      & (per_fc < 0.5), 1.0, 0.0)
+    act_v = jnp.where((m_cf >= mass_min) & (a_cf >= conc_min)
+                      & (per_cf < 0.5), 1.0, 0.0)
+    msk_cc = (1.0 - solid) if immersed else jnp.ones_like(solid)
+    msk_ff = 1.0 - per_ff
+    if has_drag:
+        # immersed_peripheral (f,f) nodes: peripheral ∧ ¬wall-peripheral,
+        # with the wall written in tile coordinates (fields.immersed_only_ff)
+        wall_ff = jnp.zeros(gx.shape, bool)
+        if bounded_x:
+            wall_ff = (wall_ff | ((gx <= 0) & (gates_ref[_G_W] > 0))
+                       | ((gx >= Nxl) & (gates_ref[_G_E] > 0)))
+        if bounded_y:
+            wall_ff = wall_ff | ((gy <= 0) & (gates_ref[_G_S] > 0))
+            if not fold:
+                wall_ff = wall_ff | ((gy >= Nyl) & (gates_ref[_G_N] > 0))
+        imm_ff = (per_ff > 0.5) & ~wall_ff
+        Cd = p[_PX_CDRAG]
+        wxd = jnp.where(imm_ff, Cd * dx_ff, 0.0) * inv_az_fc
+        wyd = jnp.where(imm_ff, Cd * dy_ff, 0.0) * inv_az_cf
+        imms_u = wxd
+        immn_u = sm(wxd, 1)
+        immw_v = wyd
+        imme_v = sm(wyd, 0)
+    un = c_ref[_C_UN]
+    vn = c_ref[_C_VN]
+    tau_u_top = c_ref[_C_TAUU]
+    tau_v_top = c_ref[_C_TAUV]
+    ue = c_ref[_C_UE]
+    ve = c_ref[_C_VE]
+
+    # loop-invariant external-velocity interpolations (hoisted)
     ve_fc = ixf_(iyc_(ve))
     ue_cf = ixc_(iyf_(ue))
 
@@ -725,195 +803,91 @@ def _tiled_curv_kernel(K, base_even, make_fillers, has_drag,
     def pair(j, carry):
         return one(one(carry, first_even), not first_even)
 
-    init = (fill_fc(u_ref[:]), fill_cf(v_ref[:]),
-            s11_ref[:], s22_ref[:], s12_ref[:], al_ref[:])
+    init = (fill_fc(k_ref[0]), fill_cf(k_ref[1]),
+            k_ref[2], k_ref[3], k_ref[4], k_ref[5])
     carry = lax.fori_loop(0, K // 2, pair, init)
     if K % 2:
         carry = one(carry, first_even)
     u, v, s11, s22, s12, alpha = carry
 
-    TX = o_u_ref.shape[0]
-    TY = o_u_ref.shape[1]
-    Wx = (u.shape[0] - TX) // 2
-    Wy = (u.shape[1] - TY) // 2
     sx = slice(Wx, Wx + TX)
     sy = slice(Wy, Wy + TY)
-    o_u_ref[:] = u[sx, sy]
-    o_v_ref[:] = v[sx, sy]
-    o_s11_ref[:] = s11[sx, sy]
-    o_s22_ref[:] = s22[sx, sy]
-    o_s12_ref[:] = s12[sx, sy]
-    o_al_ref[:] = alpha[sx, sy]
+    o_ref[0] = u[sx, sy]
+    o_ref[1] = v[sx, sy]
+    o_ref[2] = s11[sx, sy]
+    o_ref[3] = s22[sx, sy]
+    o_ref[4] = s12[sx, sy]
+    o_ref[5] = alpha[sx, sy]
 
 
 # --- input preparation ----------------------------------------------------------
 
-def _derived_metric_slabs(grid):
-    """The 14 loop-invariant metric forms the kernel consumes, computed once
-    on host/f32 exactly as the whole-array kernel derives them in VMEM
-    (pallas_evp_curvilinear._curvilinear_kernel)."""
-    def met(name):
-        return jnp.broadcast_to(
-            jnp.asarray(getattr(grid, name), jnp.float32), grid.shape)
+def _prepare_tiled_inputs(model, state, dt, u_start, v_start):
+    """Lean v2 prepare: the extended params vector and the 21 const planes
+    [12 raw metrics | h, ℵ, solid, uⁿ, vⁿ, τu, τv, uₑ, vₑ].
 
-    dy_fc = met("dy_fc")
-    dx_cf = met("dx_cf")
-    return [dy_fc, dx_cf,
-            1.0 / met("az_cc"), 1.0 / met("az_fc"),
-            1.0 / met("az_cf"), 1.0 / met("az_ff"),
-            met("dy_cc") ** 2, met("dx_cc") ** 2,
-            met("dx_ff") ** 2, met("dy_ff") ** 2,
-            1.0 / dy_fc, 1.0 / dx_cf,
-            1.0 / met("dx_fc"), 1.0 / met("dy_cf")]
-
-
-def _prepare_tiled_inputs(model, state, dt, u_start, v_start, fixed=None,
-                          interpret=False):
-    """Whole-array curvilinear prepare (whose τ/uₑ/vₑ arrays already carry
-    the Zipper sign flip on folded grids — required here for exact fold-halo
-    self-evolution, see module docstring), with the raw 12-metric block
-    replaced by the 14 derived forms.
-
-    ``fixed`` (TX, TY): fixed-tile bitwise mode — XLA fuses the jnp
-    mass/strength coefficient chain with the surrounding step graph and
-    contracts FMAs shape-dependently, seeding ~1e-10 serial-vs-shard
-    differences that α⁺-level EVP amplifies.  Recompute the coefficient
-    block on fixed-shape Pallas tiles (the array-metric analog of
-    pallas_evp_padded._fixed_tile_prepare) so its values are identical in
-    every decomposition."""
+    Reuses `_prepare_curvilinear_inputs` for the params vector, the raw
+    metric block and the fold-sign-filled external stresses (whose τ/uₑ/vₑ
+    arrays already carry the Zipper sign flip on folded grids — required for
+    exact fold-halo self-evolution); every coefficient const it also builds
+    is dead code under jit — the kernel derives them in VMEM."""
     from .pallas_evp_curvilinear import _prepare_curvilinear_inputs
 
-    params, consts, carry_in, P, has_drag = _prepare_curvilinear_inputs(
-        model, state, dt, u_start, v_start)
-    consts = _derived_metric_slabs(model.grid) + consts[12:]
-    if fixed is not None:
-        (P, Pff, gcc, gff, drag_u, invm_u, act_u,
-         drag_v, invm_v, act_v) = _fixed_tile_prepare_curv(
-            model, state.h, state.a, dt, fixed, interpret)
-        masks = model.masks
-        if masks.per_fc is not None:
-            act_u = act_u * (~masks.per_fc).astype(jnp.float32)
-        if masks.per_cf is not None:
-            act_v = act_v * (~masks.per_cf).astype(jnp.float32)
-        # const layout (_prepare_curvilinear_inputs + 14 derived metrics):
-        # 14..17 = P, Pff, gcc, gff; 18..20 = drag_u, invm_u, act_u;
-        # 21 = u_start; 22..24 = drag_v, invm_v, act_v (kernel ref order)
-        consts[14:18] = [P, Pff, gcc, gff]
-        consts[18:21] = [drag_u, invm_u, act_u]
-        consts[22:25] = [drag_v, invm_v, act_v]
-    return params, consts, carry_in, P, has_drag
-
-
-def _prep_kernel_curv(params_ref, h_ref, a_ref, azcc_ref, azff_ref,
-                      *out_refs):
-    """Pointwise/interp EVP coefficient block on one fixed tile with
-    array-valued cell areas (the curvilinear analog of
-    pallas_evp_padded._prep_kernel; ops and order match
-    pallas_evp_curvilinear._prepare_curvilinear_inputs exactly)."""
-    (oP, oPff, ogcc, ogff, odrag_u, oinvm_u, oact_u,
-     odrag_v, oinvm_v, oact_v) = out_refs
-    p = params_ref
-    rho = p[0]
-    Pstar = p[1]
-    Chard = p[2]
-    cadt = p[3]       # relaxation_strength · Δt
-    mass_min = p[4]
-    conc_min = p[5]
-
-    h = h_ref[:]
-    a = a_ref[:]
-    az_cc = azcc_ref[:]
-    az_ff = azff_ref[:]
-    roll = pltpu.roll
-
-    def ixf_(q):
-        return 0.5 * (q + roll(q, 1, 0))
-
-    def iyf_(q):
-        return 0.5 * (q + roll(q, 1, 1))
-
-    m_cc = h * a * rho
-    P = Pstar * h * jnp.exp(-Chard * (1 - a))
-    Pff = ixf_(iyf_(P))
-    m_ff = ixf_(iyf_(m_cc))
-    m_fc = ixf_(m_cc)
-    a_fc = ixf_(a)
-    m_cf = iyf_(m_cc)
-    a_cf = iyf_(a)
-
-    gcc = jnp.where(m_cc > 0,
-                    cadt / (jnp.where(m_cc > 0, m_cc, 1.0) * az_cc), -1.0)
-    gff = jnp.where(m_ff > 0,
-                    cadt / (jnp.where(m_ff > 0, m_ff, 1.0) * az_ff), -1.0)
-    ok_u = m_fc > 0
-    invm_u = jnp.where(ok_u, 1.0 / jnp.where(ok_u, m_fc, 1.0), 0.0)
-    ok_v = m_cf > 0
-    invm_v = jnp.where(ok_v, 1.0 / jnp.where(ok_v, m_cf, 1.0), 0.0)
-    drag_u = invm_u * a_fc
-    drag_v = invm_v * a_cf
-    act_u = ((m_fc >= mass_min) & (a_fc >= conc_min)).astype(jnp.float32)
-    act_v = ((m_cf >= mass_min) & (a_cf >= conc_min)).astype(jnp.float32)
-
-    TX = oP.shape[0]
-    TY = oP.shape[1]
-    Wx = (h.shape[0] - TX) // 2
-    Wy = (h.shape[1] - TY) // 2
-    sx = slice(Wx, Wx + TX)
-    sy = slice(Wy, Wy + TY)
-    for ref, q in ((oP, P), (oPff, Pff), (ogcc, gcc), (ogff, gff),
-                   (odrag_u, drag_u), (oinvm_u, invm_u), (oact_u, act_u),
-                   (odrag_v, drag_v), (oinvm_v, invm_v), (oact_v, act_v)):
-        ref[:] = q[sx, sy]
-
-
-def _fixed_tile_prepare_curv(model, h, a, dt, fixed, interpret):
-    """Run `_prep_kernel_curv` over fixed (TX, TY) tiles of the padded
-    arrays; returns the 10 coefficient arrays on the padded shape."""
-    grid = model.grid
     dyn = model.dynamics
     rheo = dyn.rheology
-    TX, TY = fixed
-    Wx, Wy = 8, 64     # prep stencil radius 1: pinned small overlaps
-    nxp, nyp = grid.nxp, grid.nyp
-    ntx, nty = -(-nxp // TX), -(-nyp // TY)
-    bx, by = TX + 2 * Wx, TY + 2 * Wy
-
-    wrap_x = grid.topology[0] == PERIODIC and not _meshed(grid, 0)
-    wrap_y = grid.topology[1] == PERIODIC and not _meshed(grid, 1)
-    idx_x, _ = _tile_indices(nxp, grid.Nx, grid.Hx, ntx, TX, Wx, wrap_x)
-    idx_y, _ = _tile_indices(nyp, grid.Ny, grid.Hy, nty, TY, Wy, wrap_y)
-
-    def slab(q):
-        return q[idx_x][:, idx_y]
-
-    def met(name):
-        return jnp.broadcast_to(
-            jnp.asarray(getattr(grid, name), jnp.float32), grid.shape)
-
-    params = jnp.stack([
+    params, consts, carry_in, _, has_drag = _prepare_curvilinear_inputs(
+        model, state, dt, u_start, v_start)
+    mets = consts[:12]
+    tau_u, tau_v, ue, ve = consts[-4:]
+    solid = model.masks.solid_full
+    solid = (jnp.zeros(model.grid.shape, jnp.float32) if solid is None
+             else jnp.asarray(solid).astype(jnp.float32))
+    Cd = dyn.immersed_drag.coefficient if has_drag else 0.0
+    params = jnp.concatenate([params, jnp.stack([
         jnp.asarray(model.sea_ice_density, jnp.float32),
         jnp.asarray(rheo.ice_compressive_strength, jnp.float32),
         jnp.asarray(rheo.ice_compaction_hardening, jnp.float32),
-        jnp.asarray(rheo.relaxation_strength, jnp.float32)
-        * jnp.asarray(dt, jnp.float32),
-        jnp.asarray(dyn.minimum_mass, jnp.float32),
-        jnp.asarray(dyn.minimum_concentration, jnp.float32)])
+        jnp.asarray(Cd, jnp.float32)])])
+    planes = mets + [jnp.asarray(state.h, jnp.float32),
+                     jnp.asarray(state.a, jnp.float32), solid,
+                     u_start, v_start, tau_u, tau_v, ue, ve]
+    return params, planes, carry_in, has_drag
 
-    blk_in = pl.BlockSpec((bx, by), lambda i, j: (i, j),
-                          memory_space=pltpu.VMEM)
-    blk_out = pl.BlockSpec((TX, TY), lambda i, j: (i, j),
-                           memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
-        _prep_kernel_curv,
+
+def _p_kernel(params_ref, h_ref, a_ref, o_ref):
+    o_ref[:] = (params_ref[0] * h_ref[:]
+                * jnp.exp(-params_ref[1] * (1.0 - a_ref[:])))
+
+
+def _fixed_tile_P(model, h, a, fixed, interpret):
+    """Ice strength on pinned (TX, TY) Pallas tiles: the per-point exp/mul
+    sequence is compiled once per tile shape, so the returned P (a state
+    field the caller hands back to the update dict) is bitwise
+    decomposition-invariant — the surviving sliver of the old fixed-tile
+    prepare pass (everything else moved into the main kernel)."""
+    grid = model.grid
+    rheo = model.dynamics.rheology
+    TX, TY = fixed
+    nxp, nyp = grid.nxp, grid.nyp
+    ntx, nty = -(-nxp // TX), -(-nyp // TY)
+    params = jnp.stack([
+        jnp.asarray(rheo.ice_compressive_strength, jnp.float32),
+        jnp.asarray(rheo.ice_compaction_hardening, jnp.float32)])
+    pad = ((0, ntx * TX - nxp), (0, nty * TY - nyp))
+    hp = jnp.pad(jnp.asarray(h, jnp.float32), pad, mode="edge")
+    ap = jnp.pad(jnp.asarray(a, jnp.float32), pad, mode="edge")
+    blk = pl.BlockSpec((TX, TY), lambda i, j: (i, j),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _p_kernel,
         grid=(ntx, nty),
-        out_shape=[jax.ShapeDtypeStruct((ntx * TX, nty * TY),
-                                        jnp.float32)] * 10,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [blk_in] * 4,
-        out_specs=[blk_out] * 10,
+        out_shape=jax.ShapeDtypeStruct((ntx * TX, nty * TY), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [blk] * 2,
+        out_specs=blk,
         interpret=interpret,
         **vmem_compiler_params(interpret),
-    )(params, slab(h), slab(a), slab(met("az_cc")), slab(met("az_ff")))
-    return tuple(q[:nxp, :nyp] for q in outs)
+    )(params, hp, ap)
+    return out[:nxp, :nyp]
 
 
 def _tile_indices(ext, n_int, H, n_tiles, T, W, wrap):
@@ -956,7 +930,7 @@ def tiled_curvilinear_momentum_step(model, state, dt, u_start, v_start,
 
     state0, u0, v0 = state, u_start, v_start
     crop_back = None
-    if widen and grid0.Hy < 2 * K + 3:
+    if widen and grid0.Hy < 2 * K + 5:
         model, state, u_start, v_start, crop_back = _widen_folded(
             model, state, u_start, v_start, K)
     grid = model.grid
@@ -966,22 +940,19 @@ def tiled_curvilinear_momentum_step(model, state, dt, u_start, v_start,
     ntx, nty = -(-nxp // TX), -(-nyp // TY)
     bx, by = TX + 2 * Wx, TY + 2 * Wy
 
-    params, consts, carry_in, P, has_drag = _prepare_tiled_inputs(
-        model, state, dt, u_start, v_start, fixed=fixed, interpret=interpret)
+    params, planes, carry_in, has_drag = _prepare_tiled_inputs(
+        model, state, dt, u_start, v_start)
+    immersed = model.masks.solid_cc is not None
 
     wrap_x = grid.topology[0] == PERIODIC and not _meshed(grid, 0)
     wrap_y = grid.topology[1] == PERIODIC and not _meshed(grid, 1)
-    idx_x, gx_rows = _tile_indices(nxp, Nx, Hx, ntx, TX, Wx, wrap_x)
-    idx_y, gy_cols = _tile_indices(nyp, Ny, Hy, nty, TY, Wy, wrap_y)
-    gx = jnp.broadcast_to(jnp.asarray(gx_rows)[:, None],
-                          (gx_rows.size, gy_cols.size))
-    gy = jnp.broadcast_to(jnp.asarray(gy_cols)[None, :],
-                          (gx_rows.size, gy_cols.size))
+    idx_x, _ = _tile_indices(nxp, Nx, Hx, ntx, TX, Wx, wrap_x)
+    idx_y, _ = _tile_indices(nyp, Ny, Hy, nty, TY, Wy, wrap_y)
 
-    def slab(q):
-        return q[idx_x][:, idx_y]
+    def slab3(q):
+        return q[:, idx_x][:, :, idx_y]
 
-    const_slabs = [slab(q) for q in consts]
+    consts3 = slab3(jnp.stack(planes))
 
     # shard-position gates for the wall fills (1 everywhere on serial grids)
     def gate(dim, low):
@@ -1000,29 +971,34 @@ def tiled_curvilinear_momentum_step(model, state, dt, u_start, v_start,
                     Wy + Hy,
                     Wy + Hy + Ny - 1 - (nty - 1) * TY)
     make_fillers = _make_fillers(grid, TX, Wx, TY, Wy, edge_offsets)
+    geom = (TX, TY, Wx, Wy, Hx, Hy, Nx, Ny,
+            grid.topology[0] == BOUNDED, grid.topology[1] == BOUNDED,
+            grid.north_fold)
 
-    blk_in = pl.BlockSpec((bx, by), lambda i, j: (i, j),
-                          memory_space=pltpu.VMEM)
-    blk_out = pl.BlockSpec((TX, TY), lambda i, j: (i, j),
-                           memory_space=pltpu.VMEM)
+    blk_c = pl.BlockSpec((_N_CONSTS, bx, by), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM)
+    blk_k = pl.BlockSpec((6, bx, by), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM)
+    blk_o = pl.BlockSpec((6, TX, TY), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM)
     out_rows, out_cols = ntx * TX, nty * TY
 
     def run_chunk(base_even, carry):
         kernel = functools.partial(_tiled_curv_kernel, K, base_even,
-                                   make_fillers, has_drag)
-        carry_slabs = [slab(q) for q in carry]
-        outs = pl.pallas_call(
+                                   make_fillers, has_drag, immersed, geom)
+        carry3 = slab3(jnp.stack(carry))
+        out = pl.pallas_call(
             kernel,
             grid=(ntx, nty),
-            out_shape=[jax.ShapeDtypeStruct((out_rows, out_cols),
-                                            jnp.float32)] * 6,
+            out_shape=jax.ShapeDtypeStruct((6, out_rows, out_cols),
+                                           jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
-            + [blk_in] * (2 + len(const_slabs) + 6),
-            out_specs=[blk_out] * 6,
+            + [blk_c, blk_k],
+            out_specs=blk_o,
             interpret=interpret,
             **vmem_compiler_params(interpret),
-        )(params, gates, gx, gy, *const_slabs, *carry_slabs)
-        return tuple(q[:nxp, :nyp] for q in outs)
+        )(params, gates, consts3, carry3)
+        return tuple(out[k, :nxp, :nyp] for k in range(6))
 
     def refill(carry):
         """Re-impose fold/wall halos between exchange-free chunks with the
@@ -1052,6 +1028,15 @@ def tiled_curvilinear_momentum_step(model, state, dt, u_start, v_start,
             carry = run_chunk(True, refill(carry))
     u, v, s11, s22, s12, alpha = carry
 
+    if fixed is not None:
+        # decomposition-invariant P (pointwise in fold-consistent h, ℵ, on
+        # pinned tiles — Mosaic-compiled identically for every shard shape)
+        P = _fixed_tile_P(model, state.h, state.a, fixed, interpret)
+    else:
+        # exactly as the jnp path computes it, on the original padding
+        from .rheologies import ice_strength
+        P = ice_strength(model.dynamics.rheology, state0.h, state0.a)
+
     if crop_back is not None:
         gout = grid0
         u = crop_back(u, ("f", "c"))
@@ -1061,13 +1046,9 @@ def tiled_curvilinear_momentum_step(model, state, dt, u_start, v_start,
         s12 = crop_back(s12, ("f", "f"))
         alpha = fill_halos_cc_local(crop_back(alpha, ("c", "c")), grid0)
         if fixed is not None:
-            # decomposition-invariant P (pointwise in fold-consistent h, a,
-            # so the local cc fill rebuilds exact halos)
+            # pointwise in fold-consistent h, ℵ: the local cc fill rebuilds
+            # exact halos on the original padding
             P = fill_halos_cc_local(crop_back(P, ("c", "c")), grid0)
-        else:
-            # P on the original padding, exactly as the jnp path computes it
-            from .rheologies import ice_strength
-            P = ice_strength(model.dynamics.rheology, state0.h, state0.a)
     else:
         gout = grid
 

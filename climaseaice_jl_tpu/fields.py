@@ -288,36 +288,54 @@ FILLERS = {
 }
 
 
+# fold sign per staggered location: velocity components flip across the
+# Zipper fold, scalars and σ₁₂ keep sign (`src/sea_ice_model.jl:57-64`)
+_FOLD_SIGN = {"cc": 1.0, "fc": -1.0, "cf": -1.0, "ff": 1.0}
+
+
+def fill_halos_many(qs, locs, grid: Grid):
+    """Halo fill for several same-shape fields at once: per-field results
+    identical to ``FILLERS[loc](q, grid)``, but every meshed-direction
+    exchange is batched into ONE ppermute payload per direction (all
+    fields' strips stacked).  The reference posts its per-field halo sends
+    together (`split_explicit_momentum_equations.jl:170-187`); on TPU the
+    batching additionally collapses ~2·n_fields collective rounds per step
+    into two, which is the dominant fixed cost of a distributed step at
+    small tile sizes.  ``locs``: "cc"/"fc"/"cf"/"ff" per field."""
+    qs = list(qs)
+    xface = [loc[0] == "f" for loc in locs]
+    yface = [loc[1] == "f" for loc in locs]
+    if _meshed(grid, 0):
+        H, N = grid.Hx, grid.Nx
+        seams = [q[H + N] if f else None for q, f in zip(qs, xface)]
+        qs = _exchange_pair(qs, 0, grid.mesh_axes[0], grid.mesh_shape[0],
+                            H, N)
+        if grid.topology[0] == BOUNDED:
+            qs = [_bc_x_meshed(q, grid, f, seam=s)
+                  for q, f, s in zip(qs, xface, seams)]
+    else:
+        qs = [_fill_x(q, grid, f) for q, f in zip(qs, xface)]
+    if _meshed(grid, 1):
+        H, N = grid.Hy, grid.Ny
+        seams = [q[:, H + N] if f else None for q, f in zip(qs, yface)]
+        qs = _exchange_pair(qs, 1, grid.mesh_axes[1], grid.mesh_shape[1],
+                            H, N)
+        if grid.topology[1] == BOUNDED:
+            qs = [_bc_y_meshed(q, grid, f, seam=s)
+                  for q, f, s in zip(qs, yface, seams)]
+    else:
+        qs = [_fill_y(q, grid, f) for q, f in zip(qs, yface)]
+    return [_maybe_fold(q, grid, xf, yf, _FOLD_SIGN[loc])
+            for q, xf, yf, loc in zip(qs, xface, yface, locs)]
+
+
 def fill_halos_uv(u, v, grid: Grid):
     """Joint u/v halo fill: identical result to
     ``(fill_halos_fc(u), fill_halos_cf(v))`` but with the meshed-direction
     exchanges batched into one ppermute payload per direction (the
     deferred-exchange substep mode does one such round per substep instead
     of two separate exchange rounds)."""
-    if _meshed(grid, 0):
-        H, N = grid.Hx, grid.Nx
-        seam_u = u[H + N]
-        u, v = _exchange_pair((u, v), 0, grid.mesh_axes[0],
-                              grid.mesh_shape[0], H, N)
-        if grid.topology[0] == BOUNDED:
-            u = _bc_x_meshed(u, grid, True, seam=seam_u)
-            v = _bc_x_meshed(v, grid, False)
-    else:
-        u = _fill_x(u, grid, True)
-        v = _fill_x(v, grid, False)
-    if _meshed(grid, 1):
-        H, N = grid.Hy, grid.Ny
-        seam_v = v[:, H + N]
-        u, v = _exchange_pair((u, v), 1, grid.mesh_axes[1],
-                              grid.mesh_shape[1], H, N)
-        if grid.topology[1] == BOUNDED:
-            u = _bc_y_meshed(u, grid, False)
-            v = _bc_y_meshed(v, grid, True, seam=seam_v)
-    else:
-        u = _fill_y(u, grid, False)
-        v = _fill_y(v, grid, True)
-    u = _maybe_fold(u, grid, True, False, -1.0)
-    v = _maybe_fold(v, grid, False, True, -1.0)
+    u, v = fill_halos_many((u, v), ("fc", "cf"), grid)
     return u, v
 
 

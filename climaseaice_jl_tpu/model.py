@@ -39,6 +39,10 @@ class Masks:
     # immersed-only peripheral ff nodes (immersed_peripheral_node analog):
     # gates immersed stress-divergence fluxes; None on non-immersed grids
     imm_ff: object = None
+    # the base solid∪wall mask the per_* masks were derived from (never None
+    # on construction paths; the fused kernels re-derive per_*/msk_ff from it
+    # in-kernel instead of carrying four separate mask slabs)
+    solid_full: object = None
 
 
 @pytree_dataclass
@@ -104,8 +108,10 @@ def sea_ice_model(grid: Grid,
 
     from .fields import immersed_only_ff
     per_fc, per_cf, per_ff = peripheral_masks(grid)
-    masks = Masks(solid_cc=solid_cc_mask(grid), per_fc=per_fc,
-                  per_cf=per_cf, per_ff=per_ff, imm_ff=immersed_only_ff(grid))
+    solid_cc = solid_cc_mask(grid)
+    masks = Masks(solid_cc=solid_cc, per_fc=per_fc,
+                  per_cf=per_cf, per_ff=per_ff, imm_ff=immersed_only_ff(grid),
+                  solid_full=solid_cc)
 
     if forcing is not None and not isinstance(forcing, tuple):
         unknown = set(forcing) - {"u", "v", "h", "a", "hs", "S"}
@@ -222,7 +228,9 @@ def make_fields(model, state) -> ModelFields:
 
 def update_state(model, state):
     """`src/sea_ice_model.jl:379-394`: mask immersed cells and refresh halos of
-    every prognostic field."""
+    every prognostic field — all fields' meshed-direction exchanges batched
+    into one ppermute payload per direction (fields.fill_halos_many)."""
+    from .fields import fill_halos_many
     grid = model.grid
     masks = model.masks
 
@@ -231,25 +239,45 @@ def update_state(model, state):
             return q
         return jnp.where(masks.solid_cc, 0.0, q)
 
-    upd = {}
+    names, qs, locs = [], [], []
     for name in ("h", "a", "hs", "S", "Tu", "Tus",
                  "mf_ice", "mf_snow", "mf_snowfall"):
         q = getattr(state, name)
         if q is not None:
-            upd[name] = fill_halos_cc(mask_cc(q), grid)
-    if state.tracers:
-        upd["tracers"] = {k: fill_halos_cc(mask_cc(q), grid)
-                          for k, q in state.tracers.items()}
+            names.append(name)
+            qs.append(mask_cc(q))
+            locs.append("cc")
+    tr = list(state.tracers) if state.tracers else []
+    for k in tr:
+        names.append(None)
+        qs.append(mask_cc(state.tracers[k]))
+        locs.append("cc")
     if state.u is not None:
         u = state.u
         if masks.per_fc is not None:
             u = jnp.where(masks.per_fc, 0.0, u)
-        upd["u"] = fill_halos_fc(u, grid)
+        names.append("u")
+        qs.append(u)
+        locs.append("fc")
     if state.v is not None:
         v = state.v
         if masks.per_cf is not None:
             v = jnp.where(masks.per_cf, 0.0, v)
-        upd["v"] = fill_halos_cf(v, grid)
+        names.append("v")
+        qs.append(v)
+        locs.append("cf")
+
+    filled = fill_halos_many(qs, locs, grid)
+    upd = {}
+    tr_out = {}
+    ti = iter(tr)
+    for name, q in zip(names, filled):
+        if name is None:
+            tr_out[next(ti)] = q
+        else:
+            upd[name] = q
+    if tr_out:
+        upd["tracers"] = tr_out
     return state.evolve(**upd)
 
 

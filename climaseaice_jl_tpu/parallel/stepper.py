@@ -173,7 +173,8 @@ def _local_masks(lgrid, solid_int, ix, iy, immersed):
     else:
         imm_ff = None
     return Masks(solid_cc=s if immersed else None,
-                 per_fc=per_fc, per_cf=per_cf, per_ff=per_ff, imm_ff=imm_ff)
+                 per_fc=per_fc, per_cf=per_cf, per_ff=per_ff, imm_ff=imm_ff,
+                 solid_full=s)
 
 
 # Face-y located state components.  On a north-folded grid the seam face row
@@ -213,19 +214,75 @@ def _pad_one(name, q, lgrid, meshed_y):
     return _FILLERS[_STATE_LOCS.get(name, "cc")](full, lgrid)
 
 
-def _pad_state(state, lgrid):
+def _pad_state(state, lgrid, masks=None):
     """Pad interior-only leaves back to halo-inclusive local arrays and fill
-    every halo (one exchange round) before stepping."""
+    every halo before stepping — with ALL fields' exchanges batched into one
+    ppermute payload per mesh direction (plus one for the shared seam rows
+    of y-face fields), instead of ~2 rounds per field.  At production tile
+    sizes the per-round collective latency, not the payload, is the fixed
+    cost of a distributed step; the reference likewise groups its halo
+    sends (`split_explicit_momentum_equations.jl:170-187`).
+
+    ``masks``: when given, `model.update_state`'s immersed/peripheral
+    masking is applied to the embedded interiors *before* the fill — one
+    combined mask+pad+fill pass instead of a second full exchange round."""
+    from ..fields import fill_halos_many
     meshed_y = lgrid.mesh_shape is not None and lgrid.mesh_shape[1] > 1
+    Hx, Hy, Nx, Ny = lgrid.Hx, lgrid.Hy, lgrid.Nx, lgrid.Ny
 
-    def pad(name, q):
-        if q is None:
+    names = [n for n in _STATE_LOCS if getattr(state, n) is not None]
+    tr = list(state.tracers) if state.tracers else []
+
+    # exactly update_state's masked set (`src/sea_ice_model.jl:379-394`):
+    # prognostic cc fields + tracers over solid cells, u/v over peripherals
+    _MASKED_CC = {"h", "a", "hs", "S", "Tu", "Tus",
+                  "mf_ice", "mf_snow", "mf_snowfall"}
+
+    def mask_of(name):
+        if masks is None:
             return None
-        return _pad_one(name, q, lgrid, meshed_y)
+        if name in _MASKED_CC:
+            return masks.solid_cc
+        if name == "u":
+            return masks.per_fc
+        if name == "v":
+            return masks.per_cf
+        return None
 
-    upd = {name: pad(name, getattr(state, name)) for name in _STATE_LOCS}
-    if state.tracers:
-        upd["tracers"] = {k: pad("h", v) for k, v in state.tracers.items()}
+    def embed(name, q):
+        m = mask_of(name)
+        if m is not None:
+            mi = m[Hx:Hx + Nx, Hy + 1:Hy + Ny + 1] if _shifted(name, lgrid) \
+                else m[Hx:Hx + Nx, Hy:Hy + Ny]
+            q = jnp.where(mi, 0.0, q)
+        full = jnp.zeros(lgrid.shape, q.dtype)
+        if _shifted(name, lgrid):
+            return full.at[Hx:Hx + Nx, Hy + 1:Hy + Ny + 1].set(q)
+        return full.at[Hx:Hx + Nx, Hy:Hy + Ny].set(q)
+
+    fulls = ([embed(n, getattr(state, n)) for n in names]
+             + [embed("h", state.tracers[k]) for k in tr])
+    locs = [_STATE_LOCS[n] for n in names] + ["cc"] * len(tr)
+
+    shifted_idx = [i for i, n in enumerate(names) if _shifted(n, lgrid)]
+    if meshed_y and shifted_idx:
+        # shared interface face: row Hy ← south neighbor's seam-side row,
+        # one stacked ppermute for all y-face fields
+        name_y = lgrid.mesh_axes[1]
+        Pn = lgrid.mesh_shape[1]
+        fwd = [(i, (i + 1) % Pn) for i in range(Pn)]
+        rows = jnp.stack([fulls[i][:, Hy + Ny] for i in shifted_idx])
+        from_south = lax.ppermute(rows, name_y, fwd)
+        iy = lax.axis_index(name_y)
+        from_south = jnp.where(iy == 0, jnp.zeros_like(from_south),
+                               from_south)
+        for k, i in enumerate(shifted_idx):
+            fulls[i] = fulls[i].at[:, Hy].set(from_south[k])
+
+    filled = fill_halos_many(fulls, locs, lgrid)
+    upd = dict(zip(names, filled[:len(names)]))
+    if tr:
+        upd["tracers"] = dict(zip(tr, filled[len(names):]))
     return state.evolve(**upd)
 
 
@@ -323,8 +380,9 @@ def make_distributed_step(model, mesh_shape, devices=None):
         lmasks = _local_masks(lgrid, solid_int, ix, iy, immersed)
         lgrid = lgrid.evolve(solid_cc=lmasks.solid_cc)
         lmodel = model.evolve(grid=lgrid, masks=lmasks)
-        lstate = _pad_state(state_int, lgrid)
-        lstate = update_state(lmodel, lstate)
+        # one combined mask+pad+fill pass (= _pad_state ∘ update_state, one
+        # batched exchange round instead of two)
+        lstate = _pad_state(state_int, lgrid, masks=lmasks)
         out = _step(lmodel, lstate, dt)
         return _strip_state(out, lgrid)
 

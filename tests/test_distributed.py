@@ -347,3 +347,100 @@ def test_deferred_substep_exchange_single_batched_round():
                    if "region" in c.split("\n", 1)[0]
                    and c.count("collective-permute")]
     assert loop_counts == [2], loop_counts
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 2), (2, 2), (4, 1)])
+@pytest.mark.parametrize("topology", [("periodic", "periodic"),
+                                      ("bounded", "bounded")])
+def test_overlap_exchange_equals_serial(mesh_shape, topology):
+    """halo_exchange='overlap': the per-substep u/v exchange is consumed only
+    by narrow boundary-band recomputes, so XLA can run it concurrently with
+    the full-shard substep (the reference's async fill posted at substep end
+    and completed at next use, `elasto_visco_plastic_rheology.jl:276-279` +
+    `:204-206`).  Must reproduce the serial trajectory like the default
+    policy."""
+    import dataclasses
+    model, state = _build(topology)
+    solver = dataclasses.replace(model.dynamics.solver,
+                                 halo_exchange="overlap")
+    model = model.evolve(dynamics=dataclasses.replace(model.dynamics,
+                                                      solver=solver))
+    steps, dt = 10, 60.0
+    serial = _run_serial(model, state, steps, dt)
+    dist = _run_distributed(model, state, steps, dt, mesh_shape)
+    I = model.grid.interior
+    for name in ("u", "v", "h", "a"):
+        a = np.asarray(I(getattr(serial, name)))
+        b = np.asarray(I(getattr(dist, name)))
+        np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-9,
+                                   err_msg=f"{name} {mesh_shape}/{topology}")
+
+
+def test_overlap_exchange_immersed_island():
+    import dataclasses
+    model, state = _build(("periodic", "periodic"), immersed=True)
+    solver = dataclasses.replace(model.dynamics.solver,
+                                 halo_exchange="overlap")
+    model = model.evolve(dynamics=dataclasses.replace(model.dynamics,
+                                                      solver=solver))
+    serial = _run_serial(model, state, 5, 60.0)
+    dist = _run_distributed(model, state, 5, 60.0, (2, 2))
+    I = model.grid.interior
+    for name in ("u", "v", "h", "a"):
+        np.testing.assert_allclose(np.asarray(I(getattr(serial, name))),
+                                   np.asarray(I(getattr(dist, name))),
+                                   rtol=1e-7, atol=1e-9, err_msg=name)
+
+
+def test_overlap_exchange_fold_y_meshed():
+    """Overlap mode under the Zipper fold (y-meshed: the top shard's north
+    band hosts the within-shard fold fill; the south band's fake north edge
+    must not leak into the merge region)."""
+    import dataclasses
+    km = 1000.0
+    grid = csi.RectilinearGrid(size=(32, 32), x=(0, 20 * km), y=(0, 20 * km),
+                               halo=5, topology=("periodic", "bounded"),
+                               north_fold=True)
+    dynamics = csi.SeaIceMomentumEquation(
+        rheology=csi.ElastoViscoPlasticRheology(max_relaxation_parameter=1e4),
+        coriolis=csi.FPlane(f=1e-4),
+        top_momentum_stress={"u": 0.01, "v": 0.005},
+        bottom_momentum_stress=csi.SemiImplicitStress(),
+        solver=csi.SplitExplicitSolver(substeps=10, halo_exchange="overlap"))
+    model = csi.sea_ice_model(grid, dynamics=dynamics, ice_thermodynamics=None,
+                              advection=csi.WENO(order=5),
+                              timestepper="ForwardEuler")
+    rng = np.random.default_rng(11)
+    state = csi.initial_state(model, h=0.4 + 0.05 * rng.random((32, 32)),
+                              a=1.0, u=0.05)
+    serial = _run_serial(model, state, 5, 60.0)
+    dist = _run_distributed(model, state, 5, 60.0, (1, 2))
+    I = grid.interior
+    for name in ("u", "v", "h", "a"):
+        np.testing.assert_allclose(np.asarray(I(getattr(serial, name))),
+                                   np.asarray(I(getattr(dist, name))),
+                                   rtol=1e-7, atol=1e-9, err_msg=name)
+
+
+def test_overlap_substep_single_round():
+    """Overlap mode must not add exchange rounds: the substep loop still
+    contains exactly ONE batched u+v round (2 collective-permutes) — the
+    band recompute rides the same payload."""
+    import re
+    import dataclasses
+    import jax
+    from climaseaice_jl_tpu.parallel.stepper import strip_halos
+
+    model, state = _build()
+    solver = dataclasses.replace(model.dynamics.solver,
+                                 halo_exchange="overlap")
+    model = model.evolve(dynamics=dataclasses.replace(model.dynamics,
+                                                      solver=solver))
+    dstep, mesh = make_distributed_step(model, (1, 2))
+    s = strip_halos(model, state)
+    hlo = jax.jit(lambda s: dstep(s, 60.0)).lower(s).compile().as_text()
+    comps = re.split(r"\n(?=%?\w[\w.+-]* \()", hlo)
+    loop_counts = [c.count("collective-permute") for c in comps
+                   if "region" in c.split("\n", 1)[0]
+                   and c.count("collective-permute")]
+    assert loop_counts == [2], loop_counts

@@ -351,11 +351,12 @@ def test_diffusive_ice_column_matches_oracle():
 
 # --- EVP momentum recurrence --------------------------------------------------
 
-def evp_oracle(n_outer, dt, substeps, N=8, L=8e3, h0=None, u0=0.05,
+def evp_oracle(n_outer, dt, substeps, N=8, L=8e3, h0=None, a0=None, u0=0.05,
                f_cor=1e-4, tau_u=0.05, tau_v=0.02,
                rho_e_cd=1026.0 * 5.5e-3,   # SemiImplicitStress defaults
                ue=0.08, ve=-0.04, P_star=27.5, C_hard=20.0, e=2.0,
-               d_min=2e-9, a_min=50.0, a_max=300.0, c_alpha=np.pi ** 2):
+               d_min=2e-9, a_min=50.0, a_max=300.0, c_alpha=np.pi ** 2,
+               weno5_advection=False, eps_weno=1e-8):
     """Full αEVP split-explicit recurrence on a doubly-periodic uniform
     N×N grid, transcribed from `elasto_visco_plastic_rheology.jl:236-354`
     (viscosities + stress relaxation + dynamic γ),
@@ -392,8 +393,8 @@ def evp_oracle(n_outer, dt, substeps, N=8, L=8e3, h0=None, u0=0.05,
         return 0.5 * (q + yp(q))
 
     rng = np.random.default_rng(11)
-    h = 0.5 + 0.1 * rng.random((N, N)) if h0 is None else h0
-    a = np.ones((N, N))
+    h = 0.5 + 0.1 * rng.random((N, N)) if h0 is None else np.array(h0, float)
+    a = np.ones((N, N)) if a0 is None else np.array(a0, float)
     u = np.full((N, N), u0)
     v = np.zeros((N, N))
     s11 = np.zeros((N, N))
@@ -401,15 +402,51 @@ def evp_oracle(n_outer, dt, substeps, N=8, L=8e3, h0=None, u0=0.05,
     s12 = np.zeros((N, N))
     alpha = np.full((N, N), a_max)
 
-    m = h * a * RHO_I
-    m_fc, a_fc = ixf(m), ixf(a)
-    m_cf, a_cf = iyf(m), iyf(a)
-    m_ff = ixf(iyf(m))
-    P = P_star * h * np.exp(-C_hard * (1 - a))
-    Pff = ixf(iyf(P))
+    def w5(sm3, sm2, sm1, s0, sp1):
+        """Left-biased WENO-5 face value — the classic Jiang–Shu closed
+        forms, independent of the framework's Fraction-derived tables."""
+        q0 = (2 * sm3 - 7 * sm2 + 11 * sm1) / 6
+        q1 = (-sm2 + 5 * sm1 + 2 * s0) / 6
+        q2 = (2 * sm1 + 5 * s0 - sp1) / 6
+        b0 = (13 / 12 * (sm3 - 2 * sm2 + sm1) ** 2
+              + 0.25 * (sm3 - 4 * sm2 + 3 * sm1) ** 2)
+        b1 = (13 / 12 * (sm2 - 2 * sm1 + s0) ** 2
+              + 0.25 * (sm2 - s0) ** 2)
+        b2 = (13 / 12 * (sm1 - 2 * s0 + sp1) ** 2
+              + 0.25 * (3 * sm1 - 4 * s0 + sp1) ** 2)
+        w0 = 0.1 / (eps_weno + b0) ** 2
+        w1 = 0.6 / (eps_weno + b1) ** 2
+        w2 = 0.3 / (eps_weno + b2) ** 2
+        return (w0 * q0 + w1 * q1 + w2 * q2) / (w0 + w1 + w2)
+
+    def div_Uc(u, v, c):
+        """Flux-form WENO-5 tracer divergence (`sea_ice_advection.jl:51-58`):
+        [δx(Δy u ĉˣ) + δy(Δx v ĉʸ)] / Az with sign-of-velocity upwinding."""
+        lx = w5(xm(xm(xm(c))), xm(xm(c)), xm(c), c, xp(c))
+        rx = w5(xp(xp(c)), xp(c), c, xm(c), xm(xm(c)))
+        cx = np.where(u > 0, lx, np.where(u < 0, rx, 0.5 * (lx + rx)))
+        fx = dy * u * cx
+        ly = w5(ym(ym(ym(c))), ym(ym(c)), ym(c), c, yp(c))
+        ry = w5(yp(yp(c)), yp(c), c, ym(c), ym(ym(c)))
+        cy = np.where(v > 0, ly, np.where(v < 0, ry, 0.5 * (ly + ry)))
+        fy = dx * v * cy
+        return ((xp(fx) - fx) + (yp(fy) - fy)) / Az
 
     outs = []
     for _ in range(n_outer):
+        # initialize_rheology!: masses/strength recomputed from the advected
+        # h, ℵ at every outer step (`elasto_visco_plastic_rheology.jl:192-216`)
+        m = h * a * RHO_I
+        m_fc, a_fc = ixf(m), ixf(a)
+        m_cf, a_cf = iyf(m), iyf(a)
+        m_ff = ixf(iyf(m))
+        P = P_star * h * np.exp(-C_hard * (1 - a))
+        Pff = ixf(iyf(P))
+        if weno5_advection:
+            # tracer tendencies from the PRE-momentum velocities
+            # (`sea_ice_fe_step.jl:13-34` computes G before the momentum step)
+            Gh = -div_Uc(u, v, h)
+            Ga = -div_Uc(u, v, a)
         un, vn = u.copy(), v.copy()
         for sub in range(1, substeps + 1):
             # strain rates (uniform-grid SBP forms)
@@ -480,7 +517,20 @@ def evp_oracle(n_outer, dt, substeps, N=8, L=8e3, h0=None, u0=0.05,
             else:
                 v = v_step(u, v)
                 u = u_step(u, v)
-        outs.append((u.copy(), v.copy(), s11.copy(), s12.copy(), alpha.copy()))
+        if weno5_advection:
+            # Euler tracer update + clipping + ridging
+            # (`sea_ice_fe_step.jl:56-94`)
+            h_plus = h + dt * Gh
+            a_plus = np.maximum(0.0, a + dt * Ga)
+            h_plus = np.maximum(0.0, h_plus)
+            a_plus = np.where(h_plus == 0, 0.0, a_plus)
+            h_plus = np.where(a_plus == 0, 0.0, h_plus)
+            V_plus = h_plus * a_plus
+            a = np.where(a_plus > 1, 1.0, a_plus)
+            h = np.where(a_plus > 1, V_plus, h_plus)
+        outs.append(dict(u=u.copy(), v=v.copy(), sig11=s11.copy(),
+                         sig12=s12.copy(), alpha=alpha.copy(),
+                         h=h.copy(), a=a.copy()))
     return outs
 
 
@@ -507,11 +557,49 @@ def test_evp_momentum_matches_oracle():
     I = grid.interior
     for step_num in range(2):
         state = _step(model, state, dt)
-        ru, rv, rs11, rs12, ral = ref[step_num]
-        for name, got, want in (("u", I(state.u), ru), ("v", I(state.v), rv),
-                                ("sig11", I(state.sig11), rs11),
-                                ("sig12", I(state.sig12), rs12),
-                                ("alpha", I(state.alpha), ral)):
-            np.testing.assert_allclose(np.asarray(got), want,
-                                       rtol=1e-8, atol=1e-12,
+        r = ref[step_num]
+        for name in ("u", "v", "sig11", "sig12", "alpha"):
+            np.testing.assert_allclose(np.asarray(I(getattr(state, name))),
+                                       r[name], rtol=1e-8, atol=1e-12,
+                                       err_msg=f"{name} at step {step_num}")
+
+
+def test_evp_weno_advection_matches_oracle():
+    """The combined dynamics+advection config (the anticyclone/golden-file
+    class: periodic box, αEVP split-explicit + WENO-5 flux-form advection +
+    Euler tracer update with clipping and ridging, ForwardEuler) against an
+    independent NumPy transcription — every step, f64 rtol 1e-8.  Closes the
+    last parity hole: the golden-file test (test_reference_parity.py) is now
+    a secondary regression guard, not the primary parity evidence.
+    Transcribed from `sea_ice_fe_step.jl:13-34,56-94`,
+    `tracer_tendency_kernel_functions.jl:27-45`, `sea_ice_advection.jl:39-58`
+    and the αEVP sources cited on evp_oracle."""
+    N, L = 16, 16e3
+    grid = csi.RectilinearGrid(size=(N, N), x=(0, L), y=(0, L), halo=5,
+                               topology=("periodic", "periodic"))
+    dyn = csi.SeaIceMomentumEquation(
+        rheology=csi.ElastoViscoPlasticRheology(ice_compressive_strength=27.5),
+        coriolis=csi.FPlane(f=1e-4),
+        top_momentum_stress={"u": 0.05, "v": 0.02},
+        bottom_momentum_stress=csi.SemiImplicitStress(ue=0.08, ve=-0.04),
+        solver=csi.SplitExplicitSolver(substeps=10, fused="never"))
+    model = csi.sea_ice_model(grid, dynamics=dyn, ice_thermodynamics=None,
+                              advection=csi.WENO(order=5),
+                              timestepper="ForwardEuler")
+    x = np.arange(N) + 0.5
+    h0 = 1.0 + 0.3 * np.sin(2 * np.pi * x[:, None] / N) \
+        * np.cos(2 * np.pi * x[None, :] / N)
+    a0 = 0.85 + 0.15 * np.cos(2 * np.pi * x[:, None] / N)
+    state = csi.initial_state(model, h=h0, a=a0, u=0.05)
+
+    dt = 120.0
+    ref = evp_oracle(3, dt, 10, N=N, L=L, h0=h0, a0=a0,
+                     weno5_advection=True)
+    I = grid.interior
+    for step_num in range(3):
+        state = _step(model, state, dt)
+        r = ref[step_num]
+        for name in ("u", "v", "h", "a", "sig11", "sig12", "alpha"):
+            np.testing.assert_allclose(np.asarray(I(getattr(state, name))),
+                                       r[name], rtol=1e-8, atol=1e-12,
                                        err_msg=f"{name} at step {step_num}")

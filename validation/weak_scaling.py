@@ -60,7 +60,7 @@ if __name__ == "__main__":
     ncores = os.cpu_count() or 1
     print(f"devices: {len(jax.devices())} ({jax.devices()[0].platform}), "
           f"physical cores: {ncores}")
-    for he in ("per_substep", "wide"):
+    for he in ("per_substep", "overlap", "wide"):
         base = None
         for mesh_shape in ((1, 1), (1, 2), (2, 2), (2, 4)):
             n = mesh_shape[0] * mesh_shape[1]
