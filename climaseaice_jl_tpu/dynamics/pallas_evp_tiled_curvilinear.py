@@ -247,7 +247,14 @@ def tiled_curvilinear_available(model):
         if getattr(dyn.solver, "halo_exchange", None) != "wide":
             return False  # per-substep exchange can't cross a fused chunk
         if grid.north_fold and _meshed(grid, 0):
-            return False  # fold split across x: local fills can't refresh it
+            # Fold split across the x mesh: no local fill can refresh it
+            # mid-loop (the mirror columns live on the partner shard), so
+            # the fold halo must self-evolve through ALL substeps — exact
+            # mirror arithmetic (module docstring) + a y-halo that covers
+            # the full 2-cells/substep validity shrink.  The wide-halo
+            # stepper builds Hy = 2·substeps+3, which leaves 3 slack rows.
+            if grid.Hy < 2 * dyn.solver.substeps + 3:
+                return False
     if dyn.immersed_drag is not None and not isinstance(dyn.immersed_drag,
                                                         ImmersedDrag):
         return False
@@ -1003,8 +1010,11 @@ def tiled_curvilinear_momentum_step(model, state, dt, u_start, v_start,
     def refill(carry):
         """Re-impose fold/wall halos between exchange-free chunks with the
         *local* fills (the communication-avoiding σ/velocity refresh; only
-        folded grids evolve halo data the in-kernel fills can't rebuild)."""
-        if not grid.north_fold:
+        folded grids evolve halo data the in-kernel fills can't rebuild).
+        An x-meshed fold cannot be refreshed locally at all — there the wide
+        y-halo (≥ 2·substeps+3, availability-gated) lets the fold halo
+        self-evolve across every chunk with no refresh."""
+        if not grid.north_fold or _meshed(grid, 0):
             return carry
         u, v, s11, s22, s12, alpha = carry
         return (fill_halos_fc_local(u, grid), fill_halos_cf_local(v, grid),
@@ -1052,8 +1062,15 @@ def tiled_curvilinear_momentum_step(model, state, dt, u_start, v_start,
     else:
         gout = grid
 
-    u = fill_halos_fc_local(u, gout)
-    v = fill_halos_cf_local(v, gout)
+    if gout.north_fold and _meshed(gout, 0):
+        # post-loop u/v fold refresh needs the cross-shard gather (the local
+        # fill would raise); one exchange after the loop keeps the
+        # communication-avoiding contract for the substeps themselves
+        from ..fields import fill_halos_uv
+        u, v = fill_halos_uv(u, v, gout)
+    else:
+        u = fill_halos_fc_local(u, gout)
+        v = fill_halos_cf_local(v, gout)
     s11 = fill_halos_cc(s11, gout)
     s22 = fill_halos_cc(s22, gout)
     s12 = fill_halos_ff(s12, gout)

@@ -631,11 +631,18 @@ def with_halo(grid: Grid, halo):
     Analog of Oceananigans `with_halo`, used by the reference for the
     communication-avoiding split-explicit solver
     (`src/SeaIceDynamics/split_explicit_momentum_equations.jl:51-64`).
+
+    ``halo``: one width for both dimensions, or a ``(halo_x, halo_y)`` pair —
+    the wide-halo distributed solver inflates only mesh-split dimensions
+    (an unmeshed dimension keeps its serial halo: its fills are local, and a
+    halo wider than the interior extent would be unfillable).
     """
-    Hx = 0 if grid.topology[0] == FLAT else halo
-    Hy = 0 if grid.topology[1] == FLAT else halo
+    hx, hy = (int(halo), int(halo)) if np.ndim(halo) == 0 else map(int, halo)
+    Hx = 0 if grid.topology[0] == FLAT else hx
+    Hy = 0 if grid.topology[1] == FLAT else hy
     if (Hx, Hy) == (grid.Hx, grid.Hy):
         return grid
+    halo = max(Hx, Hy)  # constructors take one width; shrunk per-dim below
     if grid.kind == "rectilinear":
         x0 = float(grid.xf[grid.Hx])
         x1 = float(grid.xf[grid.Hx] + grid.Nx * (grid.xf[1] - grid.xf[0])) \
@@ -672,10 +679,41 @@ def with_halo(grid: Grid, halo):
                                   dtype=grid.dtype, radius=radius)
     else:
         g = _curvilinear_with_halo(grid, Hx, Hy)
+    if (g.Hx, g.Hy) != (Hx, Hy):
+        g = _shrink_dim_halos(g, Hx, Hy)
     if grid.solid_cc is not None:
         interior_mask = np.asarray(grid.interior(grid.solid_cc))
         g = ImmersedBoundaryGrid(g, interior_mask)
     return g
+
+
+def _shrink_dim_halos(g: Grid, Hx, Hy):
+    """Slice a uniform-halo grid's coordinate/metric paddings down to
+    per-dimension widths (exact: pure sub-array views of the same values)."""
+    cx, cy = g.Hx - Hx, g.Hy - Hy
+    assert cx >= 0 and cy >= 0
+
+    def cut1(c, k, n):
+        return c if (c is None or k == 0) else jnp.asarray(c)[k:k + n]
+
+    def cutm(m):
+        if m is None or np.ndim(m) == 0:
+            return m
+        m = jnp.asarray(m)
+        if m.ndim == 2 and m.shape == g.shape:
+            return m[cx:cx + g.Nx + 2 * Hx, cy:cy + g.Ny + 2 * Hy]
+        if m.ndim == 2 and m.shape[0] == 1:   # (1, nyp) latitude row
+            return m[:, cy:cy + g.Ny + 2 * Hy]
+        raise NotImplementedError(f"halo shrink of metric shape {m.shape}")
+
+    nxp, nyp = g.Nx + 2 * Hx, g.Ny + 2 * Hy
+    return g.evolve(
+        Hx=Hx, Hy=Hy,
+        xc=cut1(g.xc, cx, nxp), xf=cut1(g.xf, cx, nxp),
+        yc=cut1(g.yc, cy, nyp), yf=cut1(g.yf, cy, nyp),
+        **{f: cutm(getattr(g, f)) for f in _METRIC_LOCS},
+        lon_cc=cutm(g.lon_cc), lat_cc=cutm(g.lat_cc),
+        solid_cc=None)
 
 
 def _curvilinear_with_halo(grid: Grid, Hx, Hy):

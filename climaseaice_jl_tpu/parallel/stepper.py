@@ -353,21 +353,39 @@ def make_distributed_step(model, mesh_shape, devices=None):
             and getattr(getattr(dyn, "solver", None), "halo_exchange", None) == "wide")
     if wide:
         from ..grids import with_halo
-        if grid.north_fold and Px > 1:
-            raise NotImplementedError(
-                "wide-halo EVP with a north fold split across the x mesh: the "
-                "fold refresh is a cross-shard collective, defeating "
-                "communication avoidance; use halo_exchange='per_substep' or "
-                "a (1, Py) mesh")
         H_needed = 2 * dyn.solver.substeps + 3
-        Hw = max(H_needed, grid.Hx, grid.Hy)
-        min_tile = min(nx if axes[0] else 10**9, ny if axes[1] else 10**9)
-        if Hw > min_tile:
+        # inflate only mesh-split dimensions: unmeshed halos stay serial-width
+        # (their fills are local; a halo wider than the interior extent would
+        # be unfillable)
+        hx = max(H_needed, grid.Hx) if axes[0] else grid.Hx
+        hy = max(H_needed, grid.Hy) if axes[1] else grid.Hy
+        if (axes[0] and hx > nx) or (axes[1] and hy > ny):
             raise ValueError(
-                f"wide-halo EVP needs halo {Hw} ≤ tile size {min_tile}; "
-                f"reduce substeps or use halo_exchange='per_substep'")
-        grid = with_halo(grid, Hw)   # wide-padded coordinate/metric source
+                f"wide-halo EVP needs halo {H_needed} ≤ tile size "
+                f"({nx}, {ny}); reduce substeps or use "
+                f"halo_exchange='per_substep'")
+        grid = with_halo(grid, (hx, hy))  # wide-padded coordinate/metric source
         model = model.evolve(grid=grid)
+        if grid.north_fold and Px > 1:
+            # An x-meshed fold cannot be refreshed by local fills mid-loop
+            # (the mirror columns live on the partner shard).  The fused
+            # tiled curvilinear kernel handles it exchange-free — its fold
+            # halo self-evolves 2 cells/substep through the 2N+3-wide halo —
+            # but the jnp fallback (4 cells/substep, per-substep fold
+            # refresh) cannot, so require the fused path up front.
+            from ..dynamics.pallas_evp_tiled_curvilinear import (
+                tiled_curvilinear_available)
+            fused_mode = getattr(dyn.solver, "fused", "auto")
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            if not ((fused_mode == "always"
+                     or (fused_mode != "never" and on_tpu))
+                    and tiled_curvilinear_available(model)):
+                raise NotImplementedError(
+                    "wide-halo EVP with a north fold split across the x mesh "
+                    "requires the fused tiled curvilinear EVP path (set "
+                    "solver fused='always'/'auto' on TPU with an eligible "
+                    "configuration); otherwise use halo_exchange="
+                    "'per_substep' or a (1, Py) mesh")
 
     immersed = grid.solid_cc is not None
     solid_int_global = (np.asarray(grid.interior(grid.solid_cc))

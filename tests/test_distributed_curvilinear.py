@@ -274,3 +274,49 @@ def test_fixed_tiles_tripolar_bitwise(advect):
             assert np.array_equal(a, b), \
                 f"fixed-tile tripolar {name} {mesh_shape} not bitwise: " \
                 f"{np.abs(a - b).max()}"
+
+
+def test_fixed_tiles_tripolar_xmeshed_fold_bitwise():
+    """f32 serial ≡ distributed BITWISE with the fold split across the x
+    mesh: (2,2) and (2,4) decompositions of an immersed TripolarGrid at
+    α⁺=300 with WENO-7 ON — the x-splitting analog of
+    test_fixed_tiles_tripolar_bitwise (reference partitions
+    `distributed_tests_utils.jl:231-257`).  The fold halo self-evolves
+    through the wide halo on pinned Mosaic blocks, so the mirror cells on
+    partner shards run bit-identical arithmetic."""
+    grid = TripolarGrid((48, 96), southernmost_latitude=-70.0, halo=5,
+                        dtype="float32")
+    Nx, Ny = grid.Nx, grid.Ny
+    land = np.zeros((Nx, Ny), bool)
+    land[:, :3] = True
+    land[18:30, 80:] = True   # landmass straddling the x seam and the fold
+    grid = csi.ImmersedBoundaryGrid(grid, land)
+
+    dynamics = csi.SeaIceMomentumEquation(
+        rheology=csi.ElastoViscoPlasticRheology(ice_compressive_strength=27.5),
+        top_momentum_stress={"u": 0.02, "v": 0.01},
+        bottom_momentum_stress=csi.SemiImplicitStress(),
+        solver=csi.SplitExplicitSolver(substeps=8, halo_exchange="wide",
+                                       fused="always", fixed_tiles=(8, 128)))
+    model = csi.sea_ice_model(grid, dynamics=dynamics, ice_thermodynamics=None,
+                              advection=csi.WENO(order=7),
+                              timestepper="ForwardEuler")
+    rng = np.random.default_rng(13)
+    state = csi.initial_state(model, h=0.5 + 0.1 * rng.random((Nx, Ny)),
+                              a=1.0, u=0.05)
+
+    from climaseaice_jl_tpu.dynamics.pallas_evp_tiled_curvilinear import (
+        tiled_curvilinear_available)
+    assert tiled_curvilinear_available(model)
+
+    serial = _run_serial(model, state, 3, 60.0)
+    I = model.grid.interior
+    for mesh_shape in ((2, 2), (2, 4)):
+        dist = _run_distributed(model, state, 3, 60.0, mesh_shape)
+        for name in ("u", "v", "sig11", "sig12", "alpha", "h", "a"):
+            a = np.asarray(I(getattr(serial, name)))
+            b = np.asarray(I(getattr(dist, name)))
+            assert np.isfinite(b).all(), name
+            assert np.array_equal(a, b), \
+                f"x-meshed fold {name} {mesh_shape} not bitwise: " \
+                f"{np.abs(a - b).max()}"

@@ -385,3 +385,84 @@ def test_four_process_tripolar_fold_fixed_tiles_full_step_bitwise(tmp_path):
         ref = np.asarray(_strip_one(name, getattr(state, name), model.grid))
         assert np.isfinite(got[name]).all(), name
         np.testing.assert_array_equal(got[name], ref, err_msg=name)
+
+
+# --- capstone variant: the fold split across the x mesh -------------------------
+
+TRIFIXED_X_CONFIG = '''
+import numpy as np
+import climaseaice_jl_tpu as csi
+
+STEPS = 3
+DT = 60.0
+
+def build():
+    grid = csi.TripolarGrid((48, 96), southernmost_latitude=-70.0, halo=5,
+                            dtype="float32")
+    land = np.zeros((48, 96), bool)
+    land[:, :3] = True
+    land[18:30, 80:] = True   # landmass straddling the x seam and the fold
+    grid = csi.ImmersedBoundaryGrid(grid, land)
+    dyn = csi.SeaIceMomentumEquation(
+        rheology=csi.ElastoViscoPlasticRheology(ice_compressive_strength=27.5),
+        top_momentum_stress={"u": 0.02, "v": 0.01},
+        bottom_momentum_stress=csi.SemiImplicitStress(),
+        solver=csi.SplitExplicitSolver(substeps=8, halo_exchange="wide",
+                                       fused="always", fixed_tiles=(8, 128)))
+    model = csi.sea_ice_model(grid, dynamics=dyn, ice_thermodynamics=None,
+                              advection=csi.WENO(order=7),
+                              timestepper="ForwardEuler")
+    rng = np.random.default_rng(13)
+    state = csi.initial_state(model, h=0.5 + 0.1 * rng.random((48, 96)),
+                              a=1.0, u=0.05)
+    return model, state
+'''
+
+TRIFIXED_X_WORKER = TRIFIXED_X_CONFIG + '''
+import sys
+import jax
+
+pid, nproc, port, prefix = (int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
+                            sys.argv[4])
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nproc, process_id=pid)
+assert len(jax.devices()) == 4
+
+from climaseaice_jl_tpu.parallel import (make_distributed_step, shard_state,
+                                         save_rank_snapshot)
+from climaseaice_jl_tpu.parallel.stepper import strip_halos
+
+model, state = build()
+dstep, mesh = make_distributed_step(model, (2, 2))   # fold split across x
+s = shard_state(strip_halos(model, state), mesh)
+for it in range(1, STEPS + 1):
+    s = dstep(s, DT)
+save_rank_snapshot(prefix, s, STEPS, time=STEPS * DT,
+                   outputs=("u", "v", "h", "a", "sig11"))
+print(f"[rank {pid}] OK", flush=True)
+'''
+
+
+def test_four_process_xmeshed_fold_fixed_tiles_bitwise(tmp_path):
+    """The (2,2) variant of the capstone: the Zipper fold SPLIT ACROSS THE
+    X MESH over four real OS processes — the fold halo self-evolves through
+    the wide halo on pinned Mosaic blocks, mirror cells living on partner
+    ranks — full f32 step with WENO-7, bitwise equal to serial (reference
+    x-splitting partitions, `distributed_tests_utils.jl:231-257`)."""
+    prefix = str(tmp_path / "trifixedx")
+    _run_workers(tmp_path, TRIFIXED_X_WORKER, "worker_trifixedx.py", 4, 1,
+                 prefix)
+
+    ns = {}
+    exec(compile(TRIFIXED_X_CONFIG, "<config>", "exec"), ns)
+    model, state = ns["build"]()
+    for _ in range(ns["STEPS"]):
+        state = csi.step(model, state, ns["DT"])
+
+    from climaseaice_jl_tpu.parallel import reassemble_rank_snapshots
+    from climaseaice_jl_tpu.parallel.stepper import _strip_one
+    got = reassemble_rank_snapshots(prefix, ns["STEPS"], (48, 96))
+    for name in ("u", "v", "h", "a", "sig11"):
+        ref = np.asarray(_strip_one(name, getattr(state, name), model.grid))
+        assert np.isfinite(got[name]).all(), name
+        np.testing.assert_array_equal(got[name], ref, err_msg=name)

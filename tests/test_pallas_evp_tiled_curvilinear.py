@@ -180,3 +180,57 @@ def test_distributed_wide_tripolar_fused_equals_serial():
         assert np.isfinite(a).all(), name
         err = np.abs(a - b).max() / max(np.abs(b).max(), 1e-8)
         assert err < tol, (name, err)
+
+
+def test_distributed_wide_xmeshed_fold_fused_equals_serial():
+    """x-meshed fold, fused: on a (2, 2) mesh the Zipper fold is split
+    across the x axis — no local fill can refresh it mid-loop, so the fold
+    halo self-evolves through the full 2N+3 wide halo across ALL chunks
+    (reference x-splitting tripolar partitions,
+    `distributed_tests_utils.jl:231-257`)."""
+    from climaseaice_jl_tpu.parallel import make_distributed_step
+    from climaseaice_jl_tpu.parallel.stepper import strip_halos, unstrip_halos
+
+    grid = csi.TripolarGrid((32, 64), southernmost_latitude=-70.0, halo=5,
+                            dtype="float32")
+    land = np.zeros((32, 64), bool)
+    land[:, :2] = True
+    land[10:18, 58:] = True   # landmass straddling the x-shard seam and fold
+    grid = csi.ImmersedBoundaryGrid(grid, land)
+
+    def build(fused, wide):
+        dyn = csi.SeaIceMomentumEquation(
+            rheology=csi.ElastoViscoPlasticRheology(
+                ice_compressive_strength=27.5),
+            top_momentum_stress={"u": 0.02, "v": 0.01},
+            bottom_momentum_stress=csi.SemiImplicitStress(ue=0.05, ve=-0.02),
+            solver=csi.SplitExplicitSolver(
+                substeps=6, fused=fused,
+                halo_exchange="wide" if wide else "per_substep"))
+        model = csi.sea_ice_model(grid, dynamics=dyn, ice_thermodynamics=None,
+                                  advection=csi.WENO(order=5),
+                                  timestepper="ForwardEuler")
+        rng = np.random.default_rng(7)
+        state = csi.initial_state(model, h=0.5 + 0.1 * rng.random((32, 64)),
+                                  a=1.0, u=0.05)
+        return model, state
+
+    model_j, state = build("never", wide=False)
+    serial = state
+    for _ in range(3):
+        serial = csi.step(model_j, serial, 60.0)
+
+    model_f, state_f = build("always", wide=True)
+    dstep, _ = make_distributed_step(model_f, (2, 2))
+    s = strip_halos(model_f, state_f)
+    for _ in range(3):
+        s = dstep(s, 60.0)
+    dist = unstrip_halos(model_f, s)
+
+    I = grid.interior
+    for name, tol in (("u", 5e-4), ("v", 5e-4), ("h", 1e-5), ("a", 1e-5)):
+        a = np.asarray(I(getattr(dist, name)))
+        b = np.asarray(I(getattr(serial, name)))
+        assert np.isfinite(a).all(), name
+        err = np.abs(a - b).max() / max(np.abs(b).max(), 1e-8)
+        assert err < tol, (name, err)

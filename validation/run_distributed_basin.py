@@ -42,14 +42,14 @@ from arctic_basin_seasonal_cycle import (TAB_SHORTWAVE, TAB_LONGWAVE,
 TAU0 = 0.12
 
 
-def _wind_components(grid_, clock):
-    """Seasonal anticyclonic gyre + transpolar drift evaluated from the grid
-    argument's coordinates (works on global AND shard-local grids)."""
+def _wind_expr(lon, lat, t, comp):
+    """Seasonal anticyclonic gyre + transpolar drift as a pure elementwise
+    expression of (lon_cc, lat_cc, time) — evaluated either traced into the
+    step graph (free mode) or on pinned Pallas tiles (--fixed-tiles:
+    decomposition-invariant, see dynamics/pallas_pointwise.py)."""
     import jax.numpy as jnp
 
-    lon = jnp.asarray(grid_.lon_cc, jnp.float32)
     lon = (lon + 180.0) % 360.0 - 180.0
-    lat = jnp.asarray(grid_.lat_cc, jnp.float32)
     lon_r, lat_r = lon * deg, lat * deg
 
     def stereo(lon0, lat0):
@@ -65,13 +65,37 @@ def _wind_components(grid_, clock):
     tau_gx = amp * gy / jnp.sqrt(r2 + 1e-6)
     tau_gy = -amp * gx / jnp.sqrt(r2 + 1e-6)
     drift = jnp.exp(-(fx * fx + fy * fy) / (2 * 0.6 ** 2))
-    seasonal = 1.0 + 0.4 * jnp.cos(2 * jnp.pi * clock.time / (360 * day))
-    tu = TAU0 * seasonal * (0.7 * tau_gx + 0.5 * (-drift * fx))
-    tv = TAU0 * seasonal * (0.7 * tau_gy + 0.5 * (-drift * fy))
-    return tu.astype(jnp.float32), tv.astype(jnp.float32)
+    seasonal = 1.0 + 0.4 * jnp.cos(2 * jnp.pi * t / (360 * day))
+    if comp == 0:
+        out = TAU0 * seasonal * (0.7 * tau_gx + 0.5 * (-drift * fx))
+    else:
+        out = TAU0 * seasonal * (0.7 * tau_gy + 0.5 * (-drift * fy))
+    return out.astype(jnp.float32)
 
 
-def build(Nx, Ny, substeps=24, max_relaxation=300.0):
+def _wind_components(grid_, clock, fixed_tiles=None):
+    """Winds from the grid argument's coordinates (works on global AND
+    shard-local grids).  With ``fixed_tiles`` the whole expression runs on
+    pinned Pallas tiles, so every decomposition computes bit-identical
+    per-point stress values."""
+    import jax.numpy as jnp
+
+    lon = jnp.asarray(grid_.lon_cc, jnp.float32)
+    lat = jnp.asarray(grid_.lat_cc, jnp.float32)
+    if fixed_tiles is None:
+        return (_wind_expr(lon, lat, clock.time, 0),
+                _wind_expr(lon, lat, clock.time, 1))
+    from climaseaice_jl_tpu.dynamics.pallas_pointwise import (
+        fixed_tile_pointwise)
+    return tuple(
+        fixed_tile_pointwise(
+            lambda lo, la, t, c=c: _wind_expr(lo, la, t, c),
+            fixed_tiles, (lon, lat), scalars=(clock.time,))
+        for c in (0, 1))
+
+
+def build(Nx, Ny, substeps=24, max_relaxation=300.0, fixed_tiles=None,
+          thermo=True):
     import jax.numpy as jnp
 
     grid = csi.TripolarGrid((Nx, Ny), southernmost_latitude=45.0,
@@ -89,10 +113,10 @@ def build(Nx, Ny, substeps=24, max_relaxation=300.0):
     grid = csi.ImmersedBoundaryGrid(grid, land)
 
     def wind_u(grid_, clock, fields, params=None):
-        return _wind_components(grid_, clock)[0]
+        return _wind_components(grid_, clock, fixed_tiles)[0]
 
     def wind_v(grid_, clock, fields, params=None):
-        return _wind_components(grid_, clock)[1]
+        return _wind_components(grid_, clock, fixed_tiles)[1]
 
     dynamics = csi.SeaIceMomentumEquation(
         rheology=csi.ElastoViscoPlasticRheology(
@@ -102,7 +126,10 @@ def build(Nx, Ny, substeps=24, max_relaxation=300.0):
                              "v": csi.StressFunction(func=wind_v)},
         bottom_momentum_stress=csi.SemiImplicitStress(),
         immersed_drag=csi.ImmersedDrag(coefficient=1e-3),
-        solver=csi.SplitExplicitSolver(substeps=substeps))
+        solver=csi.SplitExplicitSolver(
+            substeps=substeps, fixed_tiles=fixed_tiles,
+            halo_exchange="wide" if fixed_tiles else "per_substep",
+            fused="always" if fixed_tiles else "auto"))
 
     Rs = FieldTimeSeries(times=TIMES, data=TAB_SHORTWAVE, cyclical=True)
     Rl = FieldTimeSeries(times=TIMES, data=TAB_LONGWAVE, cyclical=True)
@@ -121,18 +148,23 @@ def build(Nx, Ny, substeps=24, max_relaxation=300.0):
                                  stefan_boltzmann_constant=5.67e-8 * 1.02)
     model = csi.sea_ice_model(
         grid, dynamics=dynamics,
-        ice_thermodynamics=csi.sea_ice_slab_thermodynamics(),
-        snow_thermodynamics=csi.snow_slab_thermodynamics(),
-        snowfall=3.2e-6,
-        top_heat_flux=(Q_sw, Rl, Qs, Ql, Q_em),
-        bottom_heat_flux=-2.0,
+        ice_thermodynamics=csi.sea_ice_slab_thermodynamics() if thermo
+        else None,
+        snow_thermodynamics=csi.snow_slab_thermodynamics() if thermo
+        else None,
+        snowfall=3.2e-6 if thermo else None,
+        top_heat_flux=(Q_sw, Rl, Qs, Ql, Q_em) if thermo else None,
+        bottom_heat_flux=-2.0 if thermo else None,
         advection=csi.WENO(order=7), timestepper="ForwardEuler")
 
     h0 = np.clip((latI - 62.0) / 20.0, 0.0, 1.0) * 2.0
     a0 = np.clip((latI - 60.0) / 10.0, 0.0, 1.0)
     h0[land] = 0.0
     a0[land] = 0.0
-    state = csi.initial_state(model, h=h0, a=a0, hs=0.0)
+    kw = dict(h=h0, a=a0)
+    if thermo:
+        kw["hs"] = 0.0
+    state = csi.initial_state(model, **kw)
     return model, state
 
 
@@ -157,12 +189,26 @@ def main():
                          "(non-contractive: serial-vs-distributed agreement "
                          "is roundoff-amplification-limited); 1e4 = "
                          "contractive regime (tight agreement)")
+    ap.add_argument("--fixed-tiles", default=None,
+                    help="TXxTY (e.g. 8x128): decomposition-invariant mode — "
+                         "pinned-tile fused EVP + coefficient derivation + "
+                         "WENO advection + Pallas-evaluated winds; gates "
+                         "np.array_equal on the dynamics-path fields")
+    ap.add_argument("--no-thermo", action="store_true",
+                    help="dynamics+advection only (the thermo flux chain — "
+                         "FluxFunction evaluation + the secant solve — is "
+                         "the one term still compiled shape-dependently by "
+                         "XLA, so full-physics runs cannot be bitwise; see "
+                         "the gate comment below)")
     args = ap.parse_args()
     Nx, Ny = map(int, args.size.split("x"))
+    fixed = (tuple(map(int, args.fixed_tiles.split("x")))
+             if args.fixed_tiles else None)
     here = os.path.dirname(os.path.abspath(__file__))
     prefix = os.path.join(here, "dist_basin")
 
-    model, state = build(Nx, Ny, max_relaxation=args.alpha_max)
+    model, state = build(Nx, Ny, max_relaxation=args.alpha_max,
+                         fixed_tiles=fixed, thermo=not args.no_thermo)
 
     # --- distributed run -------------------------------------------------------
     dstep, mesh = make_distributed_step(model, (1, args.py))
@@ -172,8 +218,9 @@ def main():
         s = dstep(s, args.dt)
     jax.block_until_ready(s.h)
     wall = time.perf_counter() - t0
+    outs = ("u", "v", "h", "a") + (() if args.no_thermo else ("hs",))
     save_rank_snapshot(prefix, s, args.steps, time=args.steps * args.dt,
-                       outputs=("u", "v", "h", "a", "hs"))
+                       outputs=outs)
     got = reassemble_rank_snapshots(prefix, args.steps, (Nx, Ny))
 
     # --- serial reference ------------------------------------------------------
@@ -190,13 +237,16 @@ def main():
     # per-point arithmetic is bit-identical across ranks).  The basin-wide
     # metric excludes that band; the band is reported separately.
     CAP = 12
-    errs, errs_cap = {}, {}
-    for name in ("u", "v", "h", "a", "hs"):
+    fields = [n for n in ("u", "v", "h", "a", "hs")
+              if getattr(ser, n) is not None]
+    errs, errs_cap, exact = {}, {}, {}
+    for name in fields:
         ref = np.asarray(_strip_one(name, getattr(ser, name), model.grid))
         scale = max(np.abs(ref).max(), 1e-8)
         d = np.abs(got[name] - ref) / scale
         errs[name] = float(d[:, :-CAP].max())
         errs_cap[name] = float(d[:, -CAP:].max())
+        exact[name] = bool(np.array_equal(got[name], ref))
         assert np.isfinite(got[name]).all(), name
 
     # --- stream the reassembled output to NetCDF -------------------------------
@@ -210,32 +260,43 @@ def main():
     print(json.dumps({
         "grid": f"{Nx}x{Ny} tripolar immersed", "mesh": [1, args.py],
         "steps": args.steps, "dt_s": args.dt,
+        "fixed_tiles": args.fixed_tiles, "thermo": not args.no_thermo,
         "distributed_pts_per_s": round(pts, 1),
         "serial_vs_distributed_rel_err": errs,
         "pole_cap_band_rel_err": errs_cap,
+        "bitwise_equal": exact,
         "netcdf": os.path.basename(nc_path),
         "backend": jax.default_backend(),
     }))
-    # Agreement bar by regime: at the reference-default α⁺ = 300 the αEVP
-    # relaxation is non-contractive and serial-vs-distributed agreement is
-    # roundoff-amplification-limited, ~30×/substep (see
-    # tests/test_distributed.py::test_distributed_reference_default_alpha and
-    # the _build docstring there; the traced StressFunction wind seeds ulp
-    # differences between shard and global compilations).  In the
-    # contractive regime (--alpha-max 1e4) the trajectories must agree to
-    # f32 roundoff.  Bitwise equality lives in the fixed-tile rectilinear
-    # suite (tests/test_distributed.py::test_fixed_tiles_*).
-    # Gate on the basin-wide metric only; the pole-cap band is reported for
-    # the record (amplified differences spread outward with more steps, so
-    # keep the validation slice short for a sharp comparison).
-    if args.alpha_max >= 1e3:
+    # Agreement bar by mode:
+    # * --fixed-tiles + --no-thermo: the whole dynamics+advection step is
+    #   decomposition-invariant (pinned-tile Mosaic EVP + in-kernel
+    #   coefficients + fixed-tile WENO + Pallas-evaluated winds) — gate
+    #   np.array_equal on every compared field, at the full validation
+    #   scale with full dynamics physics (land, fold, seasonal winds,
+    #   immersed drag, α⁺ = 300).
+    # * with thermo ON, ONE term remains compiled shape-dependently: the
+    #   slab/snow thermo chain (FluxFunction evaluation from grid latitude,
+    #   the Semtner flux table interpolation and the fixed-iteration secant
+    #   solve are traced jnp, so XLA fuses/FMA-contracts them per shape).
+    #   Its ulp seeds feed h/ℵ and are amplified by the α⁺=300 EVP — the
+    #   loose gates below.  Making thermo shape-invariant would need the
+    #   same fixed-tile treatment (it is pointwise column physics, so it is
+    #   mechanically possible; left as the documented boundary of the
+    #   engineered-reproducibility surface).
+    # The pole-cap band is reported separately: the rows nearest the grid
+    # poles have tiny cells where γ saturates at α⁺ and αEVP is locally
+    # non-contractive regardless of mode.
+    if fixed is not None and args.no_thermo:
+        ok = all(exact.values())
+    elif args.alpha_max >= 1e3:
         # velocities amplify near the ice edge and just south of the cap
         # band; the prognostic h/ℵ stay tight
         ok = (errs["u"] < 5e-3 and errs["v"] < 5e-3
-              and all(errs[k] < 1e-4 for k in ("h", "a", "hs")))
+              and all(errs[k] < 1e-4 for k in fields[2:]))
     else:
         ok = (errs["u"] < 2e-2 and errs["v"] < 2e-2
-              and all(errs[k] < 5e-3 for k in ("h", "a", "hs")))
+              and all(errs[k] < 5e-3 for k in fields[2:]))
     print("OK" if ok else "MISMATCH")
     return 0 if ok else 1
 
