@@ -444,3 +444,70 @@ def test_overlap_substep_single_round():
                    if "region" in c.split("\n", 1)[0]
                    and c.count("collective-permute")]
     assert loop_counts == [2], loop_counts
+
+
+def test_overlap_interior_pass_independent_of_permute():
+    """Structural proof of the overlap: the jaxpr "overlap window" — the
+    number of substep-loop-body equations that are issued AFTER the u/v
+    ppermute but do NOT depend on it — must be large in overlap mode (the
+    whole full-shard interior substep runs concurrently with the collective,
+    the reference's async fill `elasto_visco_plastic_rheology.jl:276-279`)
+    and is ~zero in the deferred mode, whose permute is the last thing the
+    body does (its latency is exposed at the next iteration's head)."""
+    import dataclasses
+    import jax
+    from climaseaice_jl_tpu.parallel.stepper import strip_halos
+
+    def overlap_window(policy):
+        model, state = _build()
+        solver = dataclasses.replace(model.dynamics.solver,
+                                     halo_exchange=policy)
+        model = model.evolve(dynamics=dataclasses.replace(model.dynamics,
+                                                          solver=solver))
+        dstep, mesh = make_distributed_step(model, (1, 2))
+        s = strip_halos(model, state)
+        jaxpr = jax.make_jaxpr(lambda st: dstep(st, 60.0))(s)
+
+        def subjaxprs(eqn):
+            for v in eqn.params.values():
+                for item in (v if isinstance(v, (list, tuple)) else [v]):
+                    if hasattr(item, "eqns"):
+                        yield item
+                    elif hasattr(getattr(item, "jaxpr", None), "eqns"):
+                        yield item.jaxpr
+
+        def walk(jx):
+            found = []
+            for eqn in jx.eqns:
+                for sub in subjaxprs(eqn):
+                    if eqn.primitive.name in ("while", "scan") and any(
+                            e.primitive.name == "ppermute" for e in sub.eqns):
+                        found.append(sub)
+                    found += walk(sub)
+            return found
+
+        bodies = walk(jaxpr.jaxpr)
+        assert bodies, f"no permute-bearing loop body found ({policy})"
+        body = max(bodies, key=lambda b: len(b.eqns))
+        first_perm = next(i for i, e in enumerate(body.eqns)
+                          if e.primitive.name == "ppermute")
+        tainted = set()
+        window = 0
+        for i, eqn in enumerate(body.eqns):
+            dep = eqn.primitive.name == "ppermute" or any(
+                id(iv) in tainted for iv in eqn.invars
+                if hasattr(iv, "count"))
+            if dep:
+                for ov in eqn.outvars:
+                    tainted.add(id(ov))
+            elif i > first_perm:
+                window += 1
+        return window, len(body.eqns)
+
+    w_overlap, n_overlap = overlap_window("overlap")
+    w_deferred, n_deferred = overlap_window("per_substep")
+    # overlap: the interior pass (most of the body) is independent work the
+    # scheduler can run while the collective is in flight; deferred: the
+    # permute is the tail of the body — nothing overlaps in-iteration.
+    assert w_overlap > 0.4 * n_overlap, (w_overlap, n_overlap)
+    assert w_deferred < 0.05 * n_deferred, (w_deferred, n_deferred)

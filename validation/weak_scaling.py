@@ -40,37 +40,57 @@ def build(Nx, Ny, halo_exchange="per_substep"):
     return model, state
 
 
-def measure(mesh_shape, tile=96, steps=10, halo_exchange="per_substep"):
+def measure(mesh_shape, tile=96, steps=10, halo_exchange="per_substep",
+            repeats=3):
+    """Best-of-``repeats`` timing (least-contended pass): on a shared-core
+    box single measurements swing ±25 %, so the minimum per-step wall time
+    is the honest throughput estimator."""
     Px, Py = mesh_shape
     model, state = build(tile * Px, tile * Py, halo_exchange)
-    dstep, mesh = make_distributed_step(model, mesh_shape)
-    s = strip_halos(model, state)
+    if mesh_shape == (1, 1):
+        import climaseaice_jl_tpu as csi
+        dstep = jax.jit(lambda s, dt: csi.model._step(model, s, dt))
+        s = state
+    else:
+        dstep, mesh = make_distributed_step(model, mesh_shape)
+        s = strip_halos(model, state)
     s = dstep(s, 60.0)
     jax.block_until_ready(s.h)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        s = dstep(s, 60.0)
-    jax.block_until_ready(s.h)
-    dt = (time.perf_counter() - t0) / steps
-    pts = tile * tile * Px * Py / dt
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            s = dstep(s, 60.0)
+        jax.block_until_ready(s.h)
+        best = min(best, (time.perf_counter() - t0) / steps)
+    pts = tile * tile * Px * Py / best
     return pts, pts / (Px * Py)
 
 
 if __name__ == "__main__":
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tile", type=int, default=96)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
     ncores = os.cpu_count() or 1
     print(f"devices: {len(jax.devices())} ({jax.devices()[0].platform}), "
-          f"physical cores: {ncores}")
+          f"physical cores: {ncores}, tile {args.tile}², "
+          f"best of {args.repeats}×{args.steps} steps")
     for he in ("per_substep", "overlap", "wide"):
         base = None
         for mesh_shape in ((1, 1), (1, 2), (2, 2), (2, 4)):
             n = mesh_shape[0] * mesh_shape[1]
             if n > len(jax.devices()):
                 continue
-            total, per_dev = measure(mesh_shape, halo_exchange=he)
+            total, per_dev = measure(mesh_shape, tile=args.tile,
+                                     steps=args.steps, repeats=args.repeats,
+                                     halo_exchange=he)
             if base is None:
                 base = per_dev
             over = " [OVERSUBSCRIBED: ranks > cores, eff not meaningful]" \
                 if n > ncores else ""
             print(f"halo={he:12s} mesh={mesh_shape}: {total/1e6:8.2f}M pts/s total, "
                   f"{per_dev/1e6:6.2f}M/device, weak-scaling eff "
-                  f"{per_dev/base*100:5.1f}%{over}")
+                  f"{per_dev/base*100:5.1f}%{over}", flush=True)
