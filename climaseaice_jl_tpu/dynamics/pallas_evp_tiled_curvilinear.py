@@ -72,8 +72,8 @@ _VMEM_BUDGET = (VMEM_LIMIT_MB - 6) * 2 ** 20
 # 21-plane stacked const block + a 6-plane carry block (double-buffered)
 # + one stacked output block + ~40 block-sized residents (derived metric
 # forms, in-kernel EVP coefficient block, loop temporaries).
-_MULT = 125        # Mosaic occupancy per block-byte, calibrated on a v5e
-_MULT_DRAG = 135
+_MULT = 128        # Mosaic occupancy per block-byte, calibrated on a v5e:
+_MULT_DRAG = 135   # 240×1024 blocks compile, 240×1032 do not (r4 sweep)
 
 
 def _meshed(grid, dim):
@@ -85,10 +85,13 @@ def _wx(K, periodic_x):
     # Validity shrink is 2 rings/substep (stress update: radius 1; momentum
     # update + staggered interps: radius 1), plus 1 ring for the in-kernel
     # radius-1 coefficient derivation, plus 1 more with ImmersedDrag (the
-    # shifted drag weights are radius 2).  2K+6 covers every case with one
-    # ring of slack; the round-4 plan search measured 2K+4 bit-identical to
-    # the old conservative 3K+3 rule on the flagship tripolar config.
-    W = 2 * K + 6
+    # shifted drag weights are radius 2): 2K+2 exact, +2 slack = 2K+4.  The
+    # round-4 on-chip plan sweeps measured 2K+4 bit-identical to both 2K+6
+    # and the old conservative 3K+3 rule on the flagship tripolar config
+    # (plan-independence: same-K plans agree bitwise at the chaotic
+    # pole-band argmax), and the CPU interpret-mode equality suite pins it
+    # across topologies at non-chaotic substep counts.
+    W = 2 * K + 4
     return W + (-W) % 4  # keep bx = TX + 2W a sublane multiple (TX ≡ 0 mod 8)
 
 
@@ -162,8 +165,17 @@ def _plan_tiles(grid, nsub, mult, widen_fold=False):
                         continue
                     if mult * bx * by * 4 > _VMEM_BUDGET:
                         continue
-                    ratio = (ntx * bx) * (nty * by) / (nxp * nyp)
-                    cost = ratio * (1 + 2.0 / K)
+                    # cost: Mosaic-padded redundant-compute ratio (lane dim
+                    # rounds to 128, sublane to 8) × a per-chunk overhead
+                    # term.  The 4/K weight and the padding terms are
+                    # calibrated against the round-4 on-chip plan sweeps at
+                    # 1152×960 (validation/scratch_plan_search*.py: K=12
+                    # nty=1 measured fastest; by=1032 lane-pads to 1152 and
+                    # loses 11 %; K=15/20/24 lose despite fewer chunks).
+                    bx_eff = -(-bx // 8) * 8
+                    by_eff = -(-by // 128) * 128
+                    ratio = (ntx * bx_eff) * (nty * by_eff) / (nxp * nyp)
+                    cost = ratio * (1 + 4.0 / K)
                     if best is None or cost < best[0]:
                         best = (cost, K, TX, TY, Wx, Wy)
                     break  # larger nty only shrinks TY further
