@@ -75,12 +75,11 @@ _MAX_POINTS_TILED = 67_108_864  # 8192²; HBM (16 GB) is the binding cap above
 
 
 def _tiled_eligible(grid, nsub):
-    from .pallas_evp_tiled import _plan_tiles, pick_chunk
-    K = pick_chunk(nsub)
-    if K is None or grid.Nx * grid.Ny > _MAX_POINTS_TILED:
+    from .pallas_evp_tiled import _plan_chunks, pick_chunk
+    if pick_chunk(nsub) is None or grid.Nx * grid.Ny > _MAX_POINTS_TILED:
         return False
-    plan = _plan_tiles(grid.Nx, grid.Ny, K)
-    return plan is not None and grid.Nx % plan[0] == 0
+    plan = _plan_chunks(grid.Nx, grid.Ny, nsub)  # (K, TX, TY, Wy)
+    return plan is not None and grid.Nx % plan[1] == 0
 
 
 def _scalar(x):

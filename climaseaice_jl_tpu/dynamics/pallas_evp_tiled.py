@@ -93,16 +93,19 @@ def _pick_tile_rows(N, ny, K):
 
 
 def _plan_tiles(N, ny, K):
-    """Best (TX, TY, Wy) layout for the chunked kernel: the full-y x-slab and
-    the 2-D tiling compete on modeled redundant-compute ratio.  At ny = 2048
-    a full-y slab still fits VMEM but only at TX = 64 (ratio ≈ 2.1 with
-    K = 15), where the 2-D (256, 1024) tiling costs ≈ 1.44 — measured 12.8 vs
-    ≈ 16 M pts/s.  Returns None when nothing fits."""
+    """Best (TX, TY, Wy) layout for the chunked kernel at a given K: the
+    full-y x-slab and the 2-D tiling compete on modeled redundant-compute
+    ratio (with Mosaic lane padding priced in).  At ny = 2048 a full-y slab
+    still fits VMEM but only at TX = 64 (ratio ≈ 2.1 with K = 15), where the
+    2-D (256, 1024) tiling costs ≈ 1.44 — measured 12.8 vs ≈ 16 M pts/s.
+    Returns (cost, TX, TY, Wy) or None when nothing fits."""
     options = []
     if ny <= _Y_SLAB_MAX:
         TX = _pick_tile_rows(N, ny, K)
         if TX is not None:
-            options.append((_block_x(TX, K) / TX, TX, ny, 0))
+            ny_eff = -(-ny // 128) * 128
+            options.append(((_block_x(TX, K) / TX) * (ny_eff / ny),
+                            TX, ny, 0))
     t2 = _pick_tiles_2d(N, ny, K)
     if t2 is not None:
         TX, TY = t2
@@ -110,8 +113,28 @@ def _plan_tiles(N, ny, K):
                         TX, TY, WY))
     if not options:
         return None
-    _, TX, TY, Wy = min(options)
-    return TX, TY, Wy
+    return min(options, key=lambda o: o[0])
+
+
+def _plan_chunks(N, ny, nsub):
+    """Joint (K, layout) competition: cost = layout ratio × (1 + 4/K) —
+    the per-chunk overhead weight calibrated by the round-4 on-chip sweeps
+    (pallas_evp_tiled_curvilinear._plan_tiles), where K=12's smaller overlap
+    beat K=15's fewer chunks at production sizes.  Returns
+    (K, TX, TY, Wy)."""
+    best = None
+    for K in range(min(CHUNK_SUBSTEPS, nsub), 1, -1):
+        if nsub % K:
+            continue
+        plan = _plan_tiles(N, ny, K)
+        if plan is None:
+            continue
+        cost = plan[0] * (1 + 4.0 / K)
+        if best is None or cost < best[0]:
+            best = (cost, K) + plan[1:]
+    if best is None:
+        return None
+    return best[1:]
 
 
 def _pick_tiles_2d(N, ny, K):
@@ -347,8 +370,7 @@ def tiled_chunked_evp(nsub, params, m, a, P, un, vn,
     updated carry arrays.  Requires N % TILE_ROWS == 0 and a chunkable nsub
     (checked by the caller via pick_chunk)."""
     N, ny = u.shape
-    K = pick_chunk(nsub)
-    TX, TY, Wy = _plan_tiles(N, ny, K)
+    K, TX, TY, Wy = _plan_chunks(N, ny, nsub)
     n_tiles = N // TX
     nty = ny // TY
     W = 2 * K + 3

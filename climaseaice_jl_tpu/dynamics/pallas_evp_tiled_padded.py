@@ -41,7 +41,7 @@ from ..grids import PERIODIC, BOUNDED
 from .pallas_evp import (_P_DT, _P_DX, _P_DY, _P_F, _P_RC, _P_EINV2,
                          _P_AMIN, _P_AMAX, _P_DMIN, _P_REPL)
 from .pallas_evp import VMEM_LIMIT_MB, vmem_compiler_params
-from .pallas_evp_tiled import pick_chunk
+from .pallas_evp_tiled import CHUNK_SUBSTEPS, pick_chunk
 from .pallas_evp_padded import _prepare_inputs, padded_fused_available
 
 # Budget against the raised Mosaic scoped-VMEM limit
@@ -492,10 +492,10 @@ def tiled_padded_momentum_step(model, state, dt, u_start, v_start,
     periodic_y = grid.topology[1] == PERIODIC and not _meshed(grid, 1)
     mx, my = _meshed(grid, 0), _meshed(grid, 1)
     x_ext = grid.nxp if mx else Nx       # carried x extent
-    K = pick_chunk(nsub)
     mult = _ARRAY_MULT_DRAG if _drag_on(model) else _ARRAY_MULT
     fixed = getattr(model.dynamics.solver, "fixed_tiles", None)
     if fixed is not None:
+        K = pick_chunk(nsub)
         TX, TY = fixed
         if TY is None:
             TY, Wy, nty = nyp, 0, 1
@@ -504,29 +504,42 @@ def tiled_padded_momentum_step(model, state, dt, u_start, v_start,
             y_ext = nyp if my else Ny
             nty = -(-y_ext // TY) if my else Ny // TY
     else:
-        # Slab and 2-D layouts compete on modeled redundant-compute ratio
-        # (see pallas_evp_tiled._plan_tiles): a full-y slab that only fits at
-        # a tiny TX loses to a 2-D tiling with moderate y overlap.
-        Wb = 3 * K + 3 if periodic_x else 2 * K + 3
+        # K, slab, and 2-D layouts all compete on modeled cost =
+        # Mosaic-padded redundant-compute ratio × (1 + 4/K) per-chunk
+        # overhead — the same calibrated model as
+        # pallas_evp_tiled_curvilinear._plan_tiles (round-4 on-chip sweeps:
+        # K=12's smaller overlap beats K=15's fewer chunks at production
+        # sizes; a full-y slab that only fits at a tiny TX loses to a 2-D
+        # tiling with moderate y overlap).
         options = []
-        TXs = _pick_tile_rows(Nx, nyp, K, periodic_x, mult,
-                              require_divide=not mx)
-        if TXs is not None:
-            bxs = TXs + 2 * Wb
-            bxs += (-bxs) % 8
-            # Mosaic pads the lane (y) dimension of each block to a multiple
-            # of 128: a full-y slab carries ceil(nyp/128)*128 lanes, not nyp
-            # (e.g. 1034 -> 1152, +11% real work the unpadded ratio hides).
-            ny_eff = -(-nyp // 128) * 128
-            options.append(((bxs / TXs) * (ny_eff / Ny), TXs, None))
-        t2 = _pick_tiles_2d(Nx, Ny, K, periodic_x, mult,
-                            require_divide=not mx)
-        if t2 is not None:
-            TX2, TY2 = t2
-            bx2 = TX2 + 2 * Wb
-            bx2 += (-bx2) % 8
-            options.append(((bx2 / TX2) * ((TY2 + 2 * WY) / TY2), TX2, TY2))
-        _, TX, TY = min(options)
+        for Kc in range(min(CHUNK_SUBSTEPS, nsub), 1, -1):
+            if nsub % Kc:
+                continue
+            over = 1 + 4.0 / Kc
+            Wb = 3 * Kc + 3 if periodic_x else 2 * Kc + 3
+            TXs = _pick_tile_rows(Nx, nyp, Kc, periodic_x, mult,
+                                  require_divide=not mx)
+            if TXs is not None:
+                bxs = TXs + 2 * Wb
+                bxs += (-bxs) % 8
+                # Mosaic pads the lane (y) dimension of each block to a
+                # multiple of 128: a full-y slab carries ceil(nyp/128)*128
+                # lanes, not nyp (e.g. 1034 -> 1152, +11% hidden work).
+                ny_eff = -(-nyp // 128) * 128
+                options.append((over * (bxs / TXs) * (ny_eff / Ny),
+                                Kc, TXs, None))
+            t2 = _pick_tiles_2d(Nx, Ny, Kc, periodic_x, mult,
+                                require_divide=not mx)
+            if t2 is not None:
+                TX2, TY2 = t2
+                bx2 = TX2 + 2 * Wb
+                bx2 += (-bx2) % 8
+                options.append(
+                    (over * (bx2 / TX2) * ((TY2 + 2 * WY) / TY2),
+                     Kc, TX2, TY2))
+        # key on the cost alone: tied costs would otherwise tie-break by
+        # comparing TY values, where a slab layout carries TY=None
+        _, K, TX, TY = min(options, key=lambda o: o[0])
         if TY is None:
             TY, Wy, nty = nyp, 0, 1
         else:

@@ -134,10 +134,10 @@ def test_tiled_kernel_bitwise_cross_plan(monkeypatch):
               .at[pe._P_REPL].set(1.0))
 
     nsub = 16  # two chunks
-    monkeypatch.setattr(pt, "_plan_tiles", lambda N_, ny_, K: (128, 128, 0))
+    monkeypatch.setattr(pt, "_plan_chunks", lambda N_, ny_, ns: (8, 128, 128, 0))
     whole = pt.tiled_chunked_evp(nsub, params, m, a, P, un, vn,
                                  u, v, s11, s22, s12, al, interpret=True)
-    monkeypatch.setattr(pt, "_plan_tiles", lambda N_, ny_, K: (32, 128, 0))
+    monkeypatch.setattr(pt, "_plan_chunks", lambda N_, ny_, ns: (8, 32, 128, 0))
     tiled = pt.tiled_chunked_evp(nsub, params, m, a, P, un, vn,
                                  u, v, s11, s22, s12, al, interpret=True)
     for name, x, y in zip(("u", "v", "s11", "s22", "s12", "alpha"), whole, tiled):
@@ -174,10 +174,10 @@ def test_tiled_2d_kernel_bitwise_matches_slabs(monkeypatch):
               .at[pe._P_REPL].set(1.0))
 
     nsub = 16
-    monkeypatch.setattr(pt, "_plan_tiles", lambda N_, ny_, K: (128, 256, 0))
+    monkeypatch.setattr(pt, "_plan_chunks", lambda N_, ny_, ns: (8, 128, 256, 0))
     slabs = pt.tiled_chunked_evp(nsub, params, m, a, P, un, vn,
                                  u, v, s11, s22, s12, al, interpret=True)
-    monkeypatch.setattr(pt, "_plan_tiles", lambda N_, ny_, K: (64, 128, 64))
+    monkeypatch.setattr(pt, "_plan_chunks", lambda N_, ny_, ns: (8, 64, 128, 64))
     tiled = pt.tiled_chunked_evp(nsub, params, m, a, P, un, vn,
                                  u, v, s11, s22, s12, al, interpret=True)
     for name, x, y in zip(("u", "v", "s11", "s22", "s12", "alpha"), slabs, tiled):
@@ -509,7 +509,7 @@ def test_chunk_and_tile_planner():
     for N in (1024, 2048, 4096, 8192):
         plan = _plan_tiles(N, N, 15)
         assert plan is not None, N
-        TX, TY, Wy = plan
+        _, TX, TY, Wy = plan
         assert N % TX == 0 and N % TY == 0
         ratio = (_block_x(TX, 15) / TX) * ((TY + 2 * Wy) / TY)
         assert ratio < 1.6, f"{N}: redundancy {ratio}"

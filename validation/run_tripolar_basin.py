@@ -57,6 +57,17 @@ def build(Nx=360, Ny=300, substeps=120):
     # grid poles: mask the fold-row cells nearest the two degenerate poles
     land[[0, 1, Nx - 1], Ny - 1] = True
     land[Nx // 2 - 1:Nx // 2 + 2, Ny - 1] = True
+    # ... and, resolution-generically, every cell whose metric collapsed
+    # near the two degenerate grid poles (at 1152×960 the smallest cap cell
+    # is 47 m vs a 3.1 km median — advective CFL would force dt < 30 s).
+    # Real tripolar configurations place the poles over land for exactly
+    # this reason (cf. the reference's immersed landmass into the fold,
+    # `test/distributed_tests_utils.jl:231-257`); the masked disk here is a
+    # few hundred cells around each pole.
+    dxm = np.asarray(I(np.broadcast_to(np.asarray(grid.dx_cc), grid.shape)))
+    dym = np.asarray(I(np.broadcast_to(np.asarray(grid.dy_cc), grid.shape)))
+    dmin = np.minimum(dxm, dym)
+    land |= dmin < 0.2 * np.median(dmin)
     grid = csi.ImmersedBoundaryGrid(grid, land)
 
     # --- seasonal wind stress (on-device StressFunction) ----------------------
@@ -147,15 +158,21 @@ def build(Nx=360, Ny=300, substeps=120):
 def main():
     import jax
     from climaseaice_jl_tpu.model import _step
+    from climaseaice_jl_tpu.io.writers import NetCDFWriter
+    from climaseaice_jl_tpu.simulation import Simulation, IterationInterval
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--months", type=int, default=12)
     ap.add_argument("--size", default="360x300")
     ap.add_argument("--dt", type=float, default=1200.0)
+    ap.add_argument("--netcdf", default=None,
+                    help="stream monthly h/a/hs/u/v snapshots to this file")
     args = ap.parse_args()
     Nx, Ny = map(int, args.size.split("x"))
 
     model, state = build(Nx, Ny)
+    writer = (NetCDFWriter(["h", "a", "hs", "u", "v"], args.netcdf,
+                           IterationInterval(1)) if args.netcdf else None)
     step = jax.jit(lambda s, dt: _step(model, s, dt), donate_argnums=(0,))
     I = model.grid.interior
     ocean = ~np.asarray(I(model.grid.solid_cc))
@@ -190,6 +207,9 @@ def main():
         if not rec["finite"]:
             print("NaN detected — aborting")
             return 1
+        if writer is not None:
+            writer.maybe_write(Simulation(model, state, dt=dt,
+                                          stop_iteration=1))
     elapsed = time.perf_counter() - t0
     nsteps = args.months * per_month
     pts = Nx * Ny * nsteps / elapsed
