@@ -63,6 +63,12 @@ BYTES_PER_PT_STEP_MIN = 4 * (17 * 3 + 30)
 # ~1.7 GHz ≈ 7e12 op/s (FMA counted as 1 — conservative).
 HBM_PEAK = 819e9
 VPU_PEAK_EST = 7.0e12
+# Measured issue ceiling for fused stencil bodies at the production block
+# shape (round-4 calibration, docs/design.md): a pure dependent-chain
+# elementwise stream does ~8e11 lane-ops/s; the fused EVP body sustains
+# ~2.4e12 by keeping expression trees in vregs, and kernel-surgery
+# ablations show any same-shape op sequence tops out there.
+VPU_ENVELOPE_MEASURED = 2.4e12
 
 
 def main():
@@ -115,11 +121,16 @@ def main():
             "bytes_per_pt_min": BYTES_PER_PT_STEP_MIN,
             "achieved_gflops": round(achieved_flops / 1e9, 1),
             "vpu_frac_est": round(achieved_flops / VPU_PEAK_EST, 3),
+            "vpu_frac_vs_measured_envelope": round(
+                achieved_flops / VPU_ENVELOPE_MEASURED, 3),
             "achieved_hbm_gbps_min": round(achieved_bytes / 1e9, 1),
             "hbm_frac_min": round(achieved_bytes / HBM_PEAK, 4),
             "note": "flops counted from the fused kernel body (see bench.py); "
                     "bytes = fused-tier minimum HBM traffic; peaks: v5e 819 GB/s "
-                    "HBM, VPU ~7e12 f32 op/s (FMA=1)",
+                    "HBM, VPU ~7e12 f32 op/s nominal (FMA=1); envelope = 2.4e12 "
+                    "measured issue ceiling for fused stencil bodies at this "
+                    "block shape (scratch_vpu_peak*.py + kernel-surgery "
+                    "ablations, docs/design.md round-4 calibration)",
         },
     }))
     return 0

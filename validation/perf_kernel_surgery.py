@@ -519,7 +519,7 @@ def make_kernel(nsub, mode):
 
 
 def run(N, nsub, mode, reps=int(os.environ.get("REPS", 40)),
-        return_outs=False):
+        return_outs=False, interpret=bool(os.environ.get("INTERPRET"))):
     rng = np.random.default_rng(0)
     shape = (N, N)
     params = jnp.asarray(np.array(
@@ -540,7 +540,8 @@ def run(N, nsub, mode, reps=int(os.environ.get("REPS", 40)),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 18,
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-            **vmem_compiler_params(),
+            interpret=interpret,
+            **vmem_compiler_params(interpret),
         )(params, *args)
 
     outs = go(params, *consts, *carry)
