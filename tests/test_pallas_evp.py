@@ -513,3 +513,24 @@ def test_chunk_and_tile_planner():
         assert N % TX == 0 and N % TY == 0
         ratio = (_block_x(TX, 15) / TX) * ((TY + 2 * Wy) / TY)
         assert ratio < 1.6, f"{N}: redundancy {ratio}"
+
+
+def test_plan_chunks_competition():
+    """Round-4 planner: K competes jointly with the layout (cost = padded
+    ratio × (1 + 4/K)), the chosen K always divides nsub, and Mosaic lane
+    padding is priced (a 1030-lane slab really costs 1152 lanes)."""
+    from climaseaice_jl_tpu.dynamics.pallas_evp_tiled import (
+        _plan_chunks, _plan_tiles)
+
+    for nsub in (120, 150, 8, 100):
+        plan = _plan_chunks(1024, 1024, nsub)
+        assert plan is not None
+        K, TX, TY, Wy = plan
+        assert nsub % K == 0 and 2 <= K <= 15
+        assert 1024 % TX == 0
+
+    # hidden lane padding must be priced: same layout family, ny=1030
+    # (pads to 1152) must cost more than ny=1024 (no padding)
+    c_aligned = _plan_tiles(1024, 1024, 15)[0]
+    c_padded = _plan_tiles(1024, 1030, 15)[0]
+    assert c_padded > c_aligned
