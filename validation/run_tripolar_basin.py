@@ -167,12 +167,37 @@ def main():
     ap.add_argument("--dt", type=float, default=1200.0)
     ap.add_argument("--netcdf", default=None,
                     help="stream monthly h/a/hs/u/v snapshots to this file")
+    ap.add_argument("--resume-nc", default=None,
+                    help="resume from the LAST record of this NetCDF file: "
+                         "h/a/hs/u/v and the clock are restored; the EVP "
+                         "auxiliaries (σ, α) re-spin within one step "
+                         "(physically equivalent, not bitwise — for "
+                         "continuing a long climate run after an "
+                         "environment failure, not a checkpoint substitute: "
+                         "bit-exact pickup lives in io/checkpoint.py)")
     args = ap.parse_args()
     Nx, Ny = map(int, args.size.split("x"))
 
     model, state = build(Nx, Ny)
+    start_month = 0
+    if args.resume_nc:
+        from scipy.io import netcdf_file
+        f = netcdf_file(args.resume_nc, "r", mmap=False)
+        start_month = f.variables["time"].shape[0]
+        rec = {k: np.array(f.variables[k][-1]) for k in
+               ("h", "a", "hs", "u", "v")}
+        t0_resume = float(f.variables["time"][-1])
+        f.close()
+        state = csi.initial_state(model, h=rec["h"], a=rec["a"],
+                                  hs=rec["hs"], u=rec["u"], v=rec["v"],
+                                  time=t0_resume)
+        print(json.dumps({"resumed_from": args.resume_nc,
+                          "months_done": start_month,
+                          "time_s": t0_resume}), flush=True)
     writer = (NetCDFWriter(["h", "a", "hs", "u", "v"], args.netcdf,
-                           IterationInterval(1)) if args.netcdf else None)
+                           IterationInterval(1),
+                           overwrite=not args.resume_nc)
+              if args.netcdf else None)
     step = jax.jit(lambda s, dt: _step(model, s, dt), donate_argnums=(0,))
     I = model.grid.interior
     ocean = ~np.asarray(I(model.grid.solid_cc))
@@ -186,7 +211,7 @@ def main():
 
     monthly = []
     t0 = time.perf_counter()
-    for m in range(args.months):
+    for m in range(start_month, args.months):
         for _ in range(per_month):
             state = step(state, dt)
         jax.block_until_ready(state.h)
@@ -211,7 +236,7 @@ def main():
             writer.maybe_write(Simulation(model, state, dt=dt,
                                           stop_iteration=1))
     elapsed = time.perf_counter() - t0
-    nsteps = args.months * per_month
+    nsteps = (args.months - start_month) * per_month
     pts = Nx * Ny * nsteps / elapsed
     print(json.dumps({"throughput_pts_per_s": round(pts, 1),
                       "steps": nsteps, "wall_s": round(elapsed, 1),
