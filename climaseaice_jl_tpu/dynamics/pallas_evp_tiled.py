@@ -121,7 +121,16 @@ def _plan_chunks(N, ny, nsub):
     the per-chunk overhead weight calibrated by the round-4 on-chip sweeps
     (pallas_evp_tiled_curvilinear._plan_tiles), where K=12's smaller overlap
     beat K=15's fewer chunks at production sizes.  Returns
-    (K, TX, TY, Wy)."""
+    (K, TX, TY, Wy).
+
+    ``CSI_T_PLAN=K,TX,TY,Wy`` overrides the search (perf sweeps on real
+    hardware without code edits; correctness is plan-independent — the
+    cross-plan bitwise tests in tests/test_pallas_evp.py pin it)."""
+    import os
+    override = os.environ.get("CSI_T_PLAN")
+    if override:
+        K, TX, TY, Wy = map(int, override.split(","))
+        return K, TX, TY, Wy
     best = None
     for K in range(min(CHUNK_SUBSTEPS, nsub), 1, -1):
         if nsub % K:

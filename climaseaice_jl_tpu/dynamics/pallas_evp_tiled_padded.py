@@ -511,7 +511,15 @@ def tiled_padded_momentum_step(model, state, dt, u_start, v_start,
         # K=12's smaller overlap beats K=15's fewer chunks at production
         # sizes; a full-y slab that only fits at a tiny TX loses to a 2-D
         # tiling with moderate y overlap).
-        options = []
+        # ``CSI_TP_PLAN=K,TX,TY`` (TY=0 → full-y slab) overrides the search
+        # for on-chip sweeps; correctness is plan-independent.
+        import os
+        override = os.environ.get("CSI_TP_PLAN")
+        if override:
+            Ko, TXo, TYo = map(int, override.split(","))
+            options = [(0.0, Ko, TXo, TYo or None)]
+        else:
+            options = []
         for Kc in range(min(CHUNK_SUBSTEPS, nsub), 1, -1):
             if nsub % Kc:
                 continue
