@@ -130,6 +130,27 @@ def _plan_chunks(N, ny, nsub):
     override = os.environ.get("CSI_T_PLAN")
     if override:
         K, TX, TY, Wy = map(int, override.split(","))
+        # A bad override must fail loudly, not silently change the physics
+        # (ADVICE r4): K must divide nsub (n_chunks = nsub // K executes
+        # exactly nsub substeps only then), tiles must divide the grid, and
+        # 2-D blocks must obey the Mosaic %128 lane rule.
+        if nsub % K:
+            raise ValueError(
+                f"CSI_T_PLAN: K={K} does not divide substeps={nsub}")
+        if N % TX:
+            raise ValueError(f"CSI_T_PLAN: TX={TX} does not divide Nx={N}")
+        if Wy == 0:
+            if TY != ny:
+                raise ValueError(
+                    f"CSI_T_PLAN: slab plan (Wy=0) needs TY == Ny ({ny})")
+        else:
+            if ny % TY:
+                raise ValueError(
+                    f"CSI_T_PLAN: TY={TY} does not divide Ny={ny}")
+            if (TY + 2 * Wy) % 128:
+                raise ValueError(
+                    f"CSI_T_PLAN: block TY+2*Wy={TY + 2 * Wy} violates the "
+                    "Mosaic %128 lane rule")
         return K, TX, TY, Wy
     best = None
     for K in range(min(CHUNK_SUBSTEPS, nsub), 1, -1):

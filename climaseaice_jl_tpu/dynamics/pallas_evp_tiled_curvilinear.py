@@ -120,6 +120,11 @@ def _plan_tiles(grid, nsub, mult, widen_fold=False):
     override = os.environ.get("CSI_TC_PLAN")
     if override:
         K, TX, TY, Wx, Wy = map(int, override.split(","))
+        # Fail loudly on a K that does not divide nsub — n_chunks = nsub//K
+        # would silently execute fewer EVP substeps (ADVICE r4).
+        if nsub % K:
+            raise ValueError(
+                f"CSI_TC_PLAN: K={K} does not divide substeps={nsub}")
         return K, TX, TY, Wx, Wy
     Hx, Nx, Ny = grid.Hx, grid.Nx, grid.Ny
     nxp = grid.nxp

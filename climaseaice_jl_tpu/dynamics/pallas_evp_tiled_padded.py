@@ -516,11 +516,31 @@ def tiled_padded_momentum_step(model, state, dt, u_start, v_start,
         import os
         override = os.environ.get("CSI_TP_PLAN")
         if override:
-            Ko, TXo, TYo = map(int, override.split(","))
-            options = [(0.0, Ko, TXo, TYo or None)]
+            # Return the override immediately (no search) and validate it
+            # against the same divisibility/Mosaic constraints the planner
+            # enforces, so a bad override fails loudly instead of silently
+            # changing the physics (ADVICE r4).
+            K, TX, TY = map(int, override.split(","))
+            TY = TY or None
+            if nsub % K:
+                raise ValueError(
+                    f"CSI_TP_PLAN: K={K} does not divide substeps={nsub}")
+            if not mx and Nx % TX:
+                raise ValueError(
+                    f"CSI_TP_PLAN: TX={TX} does not divide Nx={Nx}")
+            if TY is not None:
+                if not my and Ny % TY:
+                    raise ValueError(
+                        f"CSI_TP_PLAN: TY={TY} does not divide Ny={Ny}")
+                if (TY + 2 * WY) % 128:
+                    raise ValueError(
+                        f"CSI_TP_PLAN: block TY+2*WY={TY + 2 * WY} violates "
+                        "the Mosaic %128 lane rule")
+            options = None
         else:
             options = []
-        for Kc in range(min(CHUNK_SUBSTEPS, nsub), 1, -1):
+        for Kc in ([] if options is None else
+                   range(min(CHUNK_SUBSTEPS, nsub), 1, -1)):
             if nsub % Kc:
                 continue
             over = 1 + 4.0 / Kc
@@ -547,7 +567,8 @@ def tiled_padded_momentum_step(model, state, dt, u_start, v_start,
                      Kc, TX2, TY2))
         # key on the cost alone: tied costs would otherwise tie-break by
         # comparing TY values, where a slab layout carries TY=None
-        _, K, TX, TY = min(options, key=lambda o: o[0])
+        if options is not None:
+            _, K, TX, TY = min(options, key=lambda o: o[0])
         if TY is None:
             TY, Wy, nty = nyp, 0, 1
         else:

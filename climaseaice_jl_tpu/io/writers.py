@@ -105,10 +105,12 @@ class NetCDFWriter:
     rewrite-everything cost).
     """
 
-    def __init__(self, outputs, filename, schedule, overwrite=True):
+    def __init__(self, outputs, filename, schedule, overwrite=True,
+                 global_attributes=None):
         self.outputs = outputs
         self.filename = filename
         self.schedule = schedule
+        self.global_attributes = dict(global_attributes or {})
         self._initialized = False
         if overwrite and os.path.exists(filename):
             os.remove(filename)
@@ -134,6 +136,8 @@ class NetCDFWriter:
             kind, _COORDINATES["curvilinear"])
         attrs = default_output_attributes(grid)
         with netcdf_file(self.filename, "w") as f:
+            for k, v in self.global_attributes.items():
+                setattr(f, k, v)
             f.createDimension("time", None)
             f.createDimension(xname, grid.Nx)
             f.createDimension(yname, grid.Ny)

@@ -8,8 +8,9 @@ latitude-modulated shortwave, T-dependent albedo and radiative emission
 (the 2-D at-scale extension of `examples/arctic_basin_seasonal_cycle.py`,
 cf. reference `examples/arctic_basin_seasonal_cycle.jl`).
 
-Prints throughput (pts/s) and seasonal diagnostics; saves monthly means to
-validation/tripolar_basin_year.npz.
+Prints throughput (pts/s) and seasonal diagnostics; saves the final state to
+validation/tripolar_basin_year_{Nx}x{Ny}.npz (size-keyed so smoke runs never
+clobber the flagship artifact).
 
 Usage: python validation/run_tripolar_basin.py [--months 12] [--size 360x300]
 """
@@ -194,9 +195,20 @@ def main():
         print(json.dumps({"resumed_from": args.resume_nc,
                           "months_done": start_month,
                           "time_s": t0_resume}), flush=True)
+    # Self-describing artifact (VERDICT r4 item 8): active Pallas plan
+    # override + halo policy + backend in the NetCDF global attrs.
+    run_attrs = {
+        "plan_override": os.environ.get("CSI_TC_PLAN", "auto"),
+        "halo_policy": "wide",
+        "backend": jax.default_backend(),
+        "dt_s": args.dt,
+        "evp_substeps": 120,
+        "grid": f"{Nx}x{Ny} tripolar",
+    }
     writer = (NetCDFWriter(["h", "a", "hs", "u", "v"], args.netcdf,
                            IterationInterval(1),
-                           overwrite=not args.resume_nc)
+                           overwrite=not args.resume_nc,
+                           global_attributes=run_attrs)
               if args.netcdf else None)
     step = jax.jit(lambda s, dt: _step(model, s, dt), donate_argnums=(0,))
     I = model.grid.interior
@@ -241,8 +253,10 @@ def main():
     print(json.dumps({"throughput_pts_per_s": round(pts, 1),
                       "steps": nsteps, "wall_s": round(elapsed, 1),
                       "grid": f"{Nx}x{Ny} tripolar", "dt_s": dt}))
+    # Size-keyed filename so smoke runs cannot clobber the flagship
+    # artifact (ADVICE r4, medium).
     np.savez(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "tripolar_basin_year.npz"),
+                          f"tripolar_basin_year_{Nx}x{Ny}.npz"),
              h=np.asarray(I(state.h)), a=np.asarray(I(state.a)),
              hs=np.asarray(I(state.hs)), u=np.asarray(I(state.u)),
              v=np.asarray(I(state.v)),
