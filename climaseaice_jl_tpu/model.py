@@ -424,10 +424,20 @@ def momentum_step(model, state, dt, u_prev=None, v_prev=None):
 
 def thermodynamic_step(model, state, dt):
     """`thermodynamic_time_step!` dispatch (`thermodynamic_time_step.jl:7-60`)."""
+    import numpy as np
     ice_t = model.ice_thermodynamics
     snow_t = model.snow_thermodynamics
     if ice_t is None:
         return state
+    # Decomposition-invariant mode: with fixed_tiles pinned on the solver,
+    # run the whole column chain on pinned Pallas tiles so full-physics
+    # runs stay bitwise serial≡distributed (thermodynamics/pallas_thermo.py).
+    fixed = getattr(getattr(model.dynamics, "solver", None),
+                    "fixed_tiles", None) if model.dynamics is not None else None
+    if (fixed is not None and model.grid.np_dtype == np.float32
+            and isinstance(ice_t, SlabThermodynamics)):
+        from .thermodynamics.pallas_thermo import fixed_tile_thermo_step
+        return fixed_tile_thermo_step(model, state, dt, fixed)
     fields = make_fields(model, state)
     if snow_t is None:
         h1, a1, Tu, diags = bare_ice_thermodynamic_step(model, state, fields, dt)

@@ -195,11 +195,12 @@ def main():
                          "WENO advection + Pallas-evaluated winds; gates "
                          "np.array_equal on the dynamics-path fields")
     ap.add_argument("--no-thermo", action="store_true",
-                    help="dynamics+advection only (the thermo flux chain — "
-                         "FluxFunction evaluation + the secant solve — is "
-                         "the one term still compiled shape-dependently by "
-                         "XLA, so full-physics runs cannot be bitwise; see "
-                         "the gate comment below)")
+                    help="dynamics+advection only (smaller/faster run; with "
+                         "--fixed-tiles the FULL-physics step is also "
+                         "decomposition-invariant — the slab/snow column "
+                         "chain runs on pinned Pallas tiles, see "
+                         "thermodynamics/pallas_thermo.py — so the bitwise "
+                         "gate applies with thermo ON too)")
     args = ap.parse_args()
     Nx, Ny = map(int, args.size.split("x"))
     fixed = (tuple(map(int, args.fixed_tiles.split("x")))
@@ -269,25 +270,19 @@ def main():
         "backend": jax.default_backend(),
     }))
     # Agreement bar by mode:
-    # * --fixed-tiles + --no-thermo: the whole dynamics+advection step is
-    #   decomposition-invariant (pinned-tile Mosaic EVP + in-kernel
-    #   coefficients + fixed-tile WENO + Pallas-evaluated winds) — gate
-    #   np.array_equal on every compared field, at the full validation
-    #   scale with full dynamics physics (land, fold, seasonal winds,
-    #   immersed drag, α⁺ = 300).
-    # * with thermo ON, ONE term remains compiled shape-dependently: the
-    #   slab/snow thermo chain (FluxFunction evaluation from grid latitude,
-    #   the Semtner flux table interpolation and the fixed-iteration secant
-    #   solve are traced jnp, so XLA fuses/FMA-contracts them per shape).
-    #   Its ulp seeds feed h/ℵ and are amplified by the α⁺=300 EVP — the
-    #   loose gates below.  Making thermo shape-invariant would need the
-    #   same fixed-tile treatment (it is pointwise column physics, so it is
-    #   mechanically possible; left as the documented boundary of the
-    #   engineered-reproducibility surface).
+    # * --fixed-tiles: the WHOLE step is decomposition-invariant —
+    #   pinned-tile Mosaic EVP + in-kernel coefficients + fixed-tile WENO +
+    #   Pallas-evaluated winds, and (round 5) the slab/snow column chain on
+    #   pinned tiles too (thermodynamics/pallas_thermo.py: FluxFunction
+    #   evaluation, flux-table scalars through SMEM, the fixed-iteration
+    #   secant, volume updates, flooding).  Gate np.array_equal on every
+    #   compared field, with FULL physics (land, fold, seasonal winds,
+    #   immersed drag, thermo + snow, α⁺ = 300) — the reference's
+    #   whole-model parity bar (`distributed_tests_utils.jl:83-86`).
     # The pole-cap band is reported separately: the rows nearest the grid
     # poles have tiny cells where γ saturates at α⁺ and αEVP is locally
     # non-contractive regardless of mode.
-    if fixed is not None and args.no_thermo:
+    if fixed is not None:
         ok = all(exact.values())
     elif args.alpha_max >= 1e3:
         # velocities amplify near the ice edge and just south of the cap
