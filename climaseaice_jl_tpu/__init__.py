@@ -26,7 +26,7 @@ from .thermodynamics import (LinearLiquidus, PhaseTransitions, melting_temperatu
                              ConductiveFlux, IceSnowConductiveFlux,
                              ProportionalEvolution, SlabThermodynamics,
                              sea_ice_slab_thermodynamics, snow_slab_thermodynamics)
-from .dynamics import (FPlane, BetaPlane, SemiImplicitStress, StressFunction, StressBalanceFreeDrift,
+from .dynamics import (FPlane, BetaPlane, LatitudeCoriolis, SemiImplicitStress, StressFunction, StressBalanceFreeDrift,
                        ViscousRheology, ElastoViscoPlasticRheology,
                        SeaIceMomentumEquation, ExplicitSolver, SplitExplicitSolver,
                        ImmersedDrag, ImmersedStressBC)

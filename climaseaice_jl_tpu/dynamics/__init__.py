@@ -1,4 +1,4 @@
-from .coriolis import FPlane, BetaPlane
+from .coriolis import FPlane, BetaPlane, LatitudeCoriolis
 from .stresses import SemiImplicitStress, StressFunction
 from .free_drift import StressBalanceFreeDrift
 from .rheologies import ViscousRheology, ElastoViscoPlasticRheology
@@ -6,7 +6,7 @@ from .momentum import (SeaIceMomentumEquation, ExplicitSolver, SplitExplicitSolv
                        ImmersedDrag, ImmersedStressBC)
 
 __all__ = [
-    "FPlane", "BetaPlane", "SemiImplicitStress", "StressBalanceFreeDrift",
+    "FPlane", "BetaPlane", "LatitudeCoriolis", "SemiImplicitStress", "StressBalanceFreeDrift",
     "ViscousRheology", "ElastoViscoPlasticRheology",
     "SeaIceMomentumEquation", "ExplicitSolver", "SplitExplicitSolver", "ImmersedDrag",
     "ImmersedStressBC",

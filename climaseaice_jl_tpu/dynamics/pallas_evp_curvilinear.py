@@ -539,7 +539,10 @@ def _prepare_curvilinear_inputs(model, state, dt, u_start, v_start):
     else:
         rC = jnp.zeros((), jnp.float32)
         ue = ve = jnp.zeros(grid.shape, jnp.float32)
-    f_cor = _f32(dyn.coriolis.f if dyn.coriolis is not None else 0.0)
+    # scalar f only for FPlane; LatitudeCoriolis (tiled tier) streams an
+    # f(φ) const plane instead and ignores this params slot
+    from .coriolis import FPlane
+    f_cor = _f32(dyn.coriolis.f if isinstance(dyn.coriolis, FPlane) else 0.0)
 
     one = jnp.ones((), jnp.float32)
     params = jnp.stack([

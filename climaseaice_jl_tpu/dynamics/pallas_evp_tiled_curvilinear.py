@@ -308,7 +308,10 @@ def tiled_curvilinear_available(model):
         if not (ok_val(bottom.ue) and ok_val(bottom.ve)):
             return False
     if dyn.coriolis is not None and not isinstance(dyn.coriolis, FPlane):
-        return False
+        from .coriolis import LatitudeCoriolis
+        if not (isinstance(dyn.coriolis, LatitudeCoriolis)
+                and grid.lat_cc is not None):
+            return False
     if dyn.free_drift is not None:
         return False
     if model.forcing:
@@ -453,11 +456,15 @@ def _widen_folded(model, state, u_start, v_start, K):
     mets = {f: _jnp_repad_metric(grid, getattr(grid, f), Hx, Hw, *loc)
             for f, loc in _METRIC_LOCS.items()}
     idx_y = np.arange(-Hw, grid.Ny + Hw, dtype=float)
+    # keep lat_cc (LatitudeCoriolis evaluates f from it on the widened grid;
+    # latitude is fold-symmetric, so the plain cc mirror images are exact)
+    lat_w = (None if grid.lat_cc is None
+             else _jnp_repad_metric(grid, grid.lat_cc, Hx, Hw, False, False))
     gw = grid.evolve(
         Hy=Hw, solid_cc=None,
         yc=jnp.asarray(idx_y + 0.5, grid.np_dtype),
         yf=jnp.asarray(idx_y, grid.np_dtype),
-        lon_cc=None, lat_cc=None, **mets)
+        lon_cc=None, lat_cc=lat_w, **mets)
     immersed = grid.solid_cc is not None
     solid_int = grid.interior(grid.solid_cc) if immersed else None
     wmasks = _widened_masks(gw, solid_int, immersed)
@@ -561,17 +568,20 @@ def _make_fillers(grid, TX, Wx, TY, Wy, edge_offsets):
 
 # stacked-const plane indices (the single (21, bx, by) input block): 12 raw
 # metrics, then the 9 state/forcing planes the in-kernel coefficient
-# derivation consumes
+# derivation consumes.  With LatitudeCoriolis one extra plane (f at cc) is
+# appended at index _N_CONSTS == _C_FCOR.
 (_C_DXCC, _C_DXFC, _C_DXCF, _C_DXFF, _C_DYCC, _C_DYFC, _C_DYCF, _C_DYFF,
  _C_IAZCC, _C_IAZFC, _C_IAZCF, _C_IAZFF,
  _C_H, _C_A, _C_SOLID, _C_UN, _C_VN, _C_TAUU, _C_TAUV, _C_UE, _C_VE,
  _N_CONSTS) = range(22)
+_C_FCOR = _N_CONSTS
 
 # extended-params tail (appended to the pallas_evp layout)
 _PX_RHO, _PX_PSTAR, _PX_CHARD, _PX_CDRAG = 18, 19, 20, 21
 
 
-def _tiled_curv_kernel(K, base_even, make_fillers, has_drag, immersed, geom,
+def _tiled_curv_kernel(K, base_even, make_fillers, has_drag, immersed,
+                       f_plane, geom,
                        params_ref, gates_ref, c_ref, k_ref, o_ref):
     """One K-substep chunk on one halo-extended tile (v2).
 
@@ -706,6 +716,16 @@ def _tiled_curv_kernel(K, base_even, make_fillers, has_drag, immersed, geom,
     ue = c_ref[_C_UE]
     ve = c_ref[_C_VE]
 
+    if f_plane:
+        # f(φ) plane → velocity points, hoisted out of the substep loop
+        # (the ℑx/ℑy forms of coriolis.x_f_cross_U/y_f_cross_U)
+        f_cc_pl = c_ref[_C_FCOR]
+        f_fc = ixf_(f_cc_pl)
+        f_cf = iyf_(f_cc_pl)
+    else:
+        f_fc = f_cor
+        f_cf = f_cor
+
     # loop-invariant external-velocity interpolations (hoisted)
     ve_fc = ixf_(iyc_(ve))
     ue_cf = ixc_(iyf_(ue))
@@ -786,7 +806,7 @@ def _tiled_curv_kernel(K, base_even, make_fillers, has_drag, immersed, geom,
         dv = ve_fc - v_fc
         speed = jnp.sqrt(du * du + dv * dv)
         imm = (imms_u * u + immn_u * sm(u, 1)) * invm_u if has_drag else 0.0
-        Gu = (f_cor * v_fc - tau_u_top * drag_u + rC * speed * ue * drag_u
+        Gu = (f_fc * v_fc - tau_u_top * drag_u + rC * speed * ue * drag_u
               + div_x * invm_u - imm
               + (un - u) * inv_dt)
         Gu = jnp.where(invm_u > 0, Gu, 0.0)
@@ -800,7 +820,7 @@ def _tiled_curv_kernel(K, base_even, make_fillers, has_drag, immersed, geom,
         du = ue_cf - u_cf
         speed = jnp.sqrt(du * du + dv * dv)
         imm = (immw_v * v + imme_v * sm(v, 0)) * invm_v if has_drag else 0.0
-        Gv = (-f_cor * u_cf - tau_v_top * drag_v + rC * speed * ve * drag_v
+        Gv = (-f_cf * u_cf - tau_v_top * drag_v + rC * speed * ve * drag_v
               + div_y * invm_v - imm
               + (vn - v) * inv_dt)
         Gv = jnp.where(invm_v > 0, Gv, 0.0)
@@ -875,7 +895,16 @@ def _prepare_tiled_inputs(model, state, dt, u_start, v_start):
     planes = mets + [jnp.asarray(state.h, jnp.float32),
                      jnp.asarray(state.a, jnp.float32), solid,
                      u_start, v_start, tau_u, tau_v, ue, ve]
-    return params, planes, carry_in, has_drag
+    from .coriolis import LatitudeCoriolis, coriolis_f_cc
+    f_plane = isinstance(dyn.coriolis, LatitudeCoriolis)
+    if f_plane:
+        # f(φ) as one more const plane; fold/halo images are pointwise in
+        # the grid's lat_cc images, so halos are automatically exact — the
+        # kernel interpolates to (f,c)/(c,f) with the same ℑx/ℑy forms as
+        # coriolis.x_f_cross_U/y_f_cross_U
+        planes.append(jnp.asarray(
+            coriolis_f_cc(dyn.coriolis, model.grid), jnp.float32))
+    return params, planes, carry_in, has_drag, f_plane
 
 
 def _p_kernel(params_ref, h_ref, a_ref, o_ref):
@@ -964,9 +993,10 @@ def tiled_curvilinear_momentum_step(model, state, dt, u_start, v_start,
     ntx, nty = -(-nxp // TX), -(-nyp // TY)
     bx, by = TX + 2 * Wx, TY + 2 * Wy
 
-    params, planes, carry_in, has_drag = _prepare_tiled_inputs(
+    params, planes, carry_in, has_drag, f_plane = _prepare_tiled_inputs(
         model, state, dt, u_start, v_start)
     immersed = model.masks.solid_cc is not None
+    n_planes = len(planes)
 
     wrap_x = grid.topology[0] == PERIODIC and not _meshed(grid, 0)
     wrap_y = grid.topology[1] == PERIODIC and not _meshed(grid, 1)
@@ -999,7 +1029,7 @@ def tiled_curvilinear_momentum_step(model, state, dt, u_start, v_start,
             grid.topology[0] == BOUNDED, grid.topology[1] == BOUNDED,
             grid.north_fold)
 
-    blk_c = pl.BlockSpec((_N_CONSTS, bx, by), lambda i, j: (0, i, j),
+    blk_c = pl.BlockSpec((n_planes, bx, by), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM)
     blk_k = pl.BlockSpec((6, bx, by), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM)
@@ -1009,7 +1039,8 @@ def tiled_curvilinear_momentum_step(model, state, dt, u_start, v_start,
 
     def run_chunk(base_even, carry):
         kernel = functools.partial(_tiled_curv_kernel, K, base_even,
-                                   make_fillers, has_drag, immersed, geom)
+                                   make_fillers, has_drag, immersed,
+                                   f_plane, geom)
         carry3 = slab3(jnp.stack(carry))
         out = pl.pallas_call(
             kernel,

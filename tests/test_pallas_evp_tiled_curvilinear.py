@@ -130,6 +130,41 @@ def test_warped_curvilinear_matches_jnp():
     _compare_momentum(_warped_grid(), 12)
 
 
+def test_latitude_coriolis_matches_jnp():
+    """Real f(φ) = 2Ω sin(lat): the fused tier streams an f(φ) const plane
+    and interpolates to velocity points in VMEM with the same ℑx/ℑy forms
+    as coriolis.x_f_cross_U/y_f_cross_U (the reference's momentum kernels
+    take any Coriolis, `momentum_tendencies_kernel_functions.jl:31,64`)."""
+    grid = _tripolar_grid()
+    dyn = csi.SeaIceMomentumEquation(
+        rheology=csi.ElastoViscoPlasticRheology(ice_compressive_strength=27.5),
+        coriolis=csi.LatitudeCoriolis(),
+        top_momentum_stress={"u": 0.05, "v": 0.02},
+        bottom_momentum_stress=csi.SemiImplicitStress(ue=0.08, ve=-0.04),
+        solver=csi.SplitExplicitSolver(substeps=12, fused="never"))
+    model = csi.sea_ice_model(grid, dynamics=dyn, ice_thermodynamics=None,
+                              advection=csi.WENO(order=5),
+                              timestepper="ForwardEuler")
+    assert tiled_curvilinear_available(model)
+    rng = np.random.default_rng(3)
+    state = csi.initial_state(model,
+                              h=0.5 + 0.1 * rng.random((grid.Nx, grid.Ny)),
+                              a=1.0, u=0.05)
+    upd_j = split_explicit_momentum_step(model, state, 60.0, state.u, state.v)
+    upd_t = tiled_curvilinear_momentum_step(model, state, 60.0,
+                                            state.u, state.v, interpret=True)
+    I = grid.interior
+    # f(φ) must actually matter: a wrong-f run (FPlane at the mean f) must
+    # differ from the LatitudeCoriolis jnp result by more than the kernel tol
+    for name, tol in (("u", 2e-4), ("v", 2e-4), ("sig11", 2e-3),
+                      ("sig12", 2e-3), ("alpha", 2e-3)):
+        a = np.asarray(I(upd_t[name]))
+        b = np.asarray(I(upd_j[name]))
+        assert np.isfinite(a).all(), name
+        err = np.abs(a - b).max() / max(np.abs(b).max(), 1e-8)
+        assert err < tol, (name, err)
+
+
 def test_distributed_wide_tripolar_fused_equals_serial():
     """The flagship distributed configuration: (1, 4) mesh, wide-halo EVP,
     immersed tripolar — per-shard tiled curvilinear kernels reproduce the

@@ -111,7 +111,8 @@ def build(Nx=360, Ny=300, substeps=120):
 
     dynamics = csi.SeaIceMomentumEquation(
         rheology=csi.ElastoViscoPlasticRheology(),
-        coriolis=csi.FPlane(f=1.4e-4),
+        coriolis=csi.LatitudeCoriolis(),  # real f(φ) = 2Ω sin(lat): ~11 %
+                                          # variation over the 60–90°N basin
         top_momentum_stress={"u": csi.StressFunction(func=wind_u),
                              "v": csi.StressFunction(func=wind_v)},
         bottom_momentum_stress=csi.SemiImplicitStress(),
