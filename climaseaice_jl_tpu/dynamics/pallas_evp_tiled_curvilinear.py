@@ -61,7 +61,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..grids import PERIODIC, BOUNDED
 from .pallas_evp import (_P_DT, _P_F, _P_RC, _P_EINV2, _P_AMIN, _P_AMAX,
                          _P_CALPHA, _P_DMIN, _P_MASSMIN, _P_CONCMIN,
-                         _P_REPL, VMEM_LIMIT_MB, vmem_compiler_params)
+                         VMEM_LIMIT_MB, vmem_compiler_params)
 from .rheologies import ElastoViscoPlasticRheology
 
 # gate-vector indices (second SMEM params input)
@@ -581,7 +581,7 @@ _PX_RHO, _PX_PSTAR, _PX_CHARD, _PX_CDRAG = 18, 19, 20, 21
 
 
 def _tiled_curv_kernel(K, base_even, make_fillers, has_drag, immersed,
-                       f_plane, geom,
+                       f_plane, repl_on, geom,
                        params_ref, gates_ref, c_ref, k_ref, o_ref):
     """One K-substep chunk on one halo-extended tile (v2).
 
@@ -604,7 +604,6 @@ def _tiled_curv_kernel(K, base_even, make_fillers, has_drag, immersed,
     a_min = p[_P_AMIN]
     a_max = p[_P_AMAX]
     d_min = p[_P_DMIN]
-    repl = p[_P_REPL]
     cadt = p[_P_CALPHA] * dt
     mass_min = p[_P_MASSMIN]
     conc_min = p[_P_CONCMIN]
@@ -639,6 +638,27 @@ def _tiled_curv_kernel(K, base_even, make_fillers, has_drag, immersed,
     def iyc_(q):
         return 0.5 * (q + sm(q, 1))
 
+    # fused double interpolations: one 0.25 scale instead of two 0.5s.
+    # Bitwise-identical to ixf_(iyf_(q)) etc. — power-of-two scalings are
+    # exact, so both forms are round(a+b) rescaled (r5 op diet; every
+    # transform in this kernel body relative to the v2 form is an FP
+    # identity, keeping all fused-vs-jnp and cross-tier comparisons intact).
+    def ixyf_(q):
+        t = q + sp(q, 1)
+        return 0.25 * (t + sp(t, 0))
+
+    def ixyc_(q):
+        t = q + sm(q, 1)
+        return 0.25 * (t + sm(t, 0))
+
+    def ixf_yc_(q):
+        t = q + sm(q, 1)
+        return 0.25 * (t + sp(t, 0))
+
+    def ixc_yf_(q):
+        t = q + sp(q, 1)
+        return 0.25 * (t + sm(t, 0))
+
     # raw metrics → the 14 loop-invariant derived forms (in VMEM, per chunk)
     dy_fc = c_ref[_C_DYFC]
     dx_cf = c_ref[_C_DXCF]
@@ -665,8 +685,8 @@ def _tiled_curv_kernel(K, base_even, make_fillers, has_drag, immersed,
     solid = c_ref[_C_SOLID]
     m_cc = h * a * rho
     P = Pstar * h * jnp.exp(-Chard * (1.0 - a))
-    Pff = ixf_(iyf_(P))
-    m_ff = ixf_(iyf_(m_cc))
+    Pff = ixyf_(P)
+    m_ff = ixyf_(m_cc)
     m_fc = ixf_(m_cc)
     a_fc = ixf_(a)
     m_cf = iyf_(m_cc)
@@ -727,8 +747,8 @@ def _tiled_curv_kernel(K, base_even, make_fillers, has_drag, immersed,
         f_cf = f_cor
 
     # loop-invariant external-velocity interpolations (hoisted)
-    ve_fc = ixf_(iyc_(ve))
-    ue_cf = ixc_(iyf_(ue))
+    ve_fc = ixf_yc_(ve)
+    ue_cf = ixc_yf_(ue)
 
     # transcendental-lean scalar forms (see pallas_evp._evp_kernel)
     inv_dt = 1.0 / dt
@@ -752,25 +772,32 @@ def _tiled_curv_kernel(K, base_even, make_fillers, has_drag, immersed,
         # (d, t) = (eD, eT) directly on curvilinear grids; the ff-point
         # invariants interpolate the pair (one ixy and the e11/e22 splits
         # saved; see pallas_evp._evp_kernel for the transcendental-lean
-        # algebra, validation/perf_kernel_surgery.py for the measurement)
-        e12 = 0.5 * eS
-        d_ff = ixf_(iyf_(eD))
-        t_ff = ixf_(iyf_(eT))
-        e12c = ixc_(iyc_(e12))
-        dd_cc = eD * eD + (eT * eT + 4 * e12c * e12c) * e_inv2
-        dd_ff = d_ff * d_ff + (t_ff * t_ff + 4 * e12 * e12) * e_inv2
+        # algebra, validation/perf_kernel_surgery.py for the measurement).
+        # r5 op diet, all FP identities: eS carried instead of e12 = eS/2
+        # (4·(eS/2)² ≡ eS² and 2η·(eS/2) ≡ η·eS — power-of-two scalings are
+        # exact); double interpolations fused; the replacement-pressure
+        # select resolved statically (pressure_formulation is config, not
+        # data).
+        d_ff = ixyf_(eD)
+        t_ff = ixyf_(eT)
+        eSc = ixyc_(eS)
+        dd_cc = eD * eD + (eT * eT + eSc * eSc) * e_inv2
+        dd_ff = d_ff * d_ff + (t_ff * t_ff + eS * eS) * e_inv2
         rD_cc = jnp.minimum(rsqrt(dd_cc), inv_dmin)
         rD_ff = jnp.minimum(rsqrt(dd_ff), inv_dmin)
-        Dcc = jnp.maximum(dd_cc * rD_cc, d_min)
         zcc = 0.5 * P * rD_cc
         zff = 0.5 * Pff * rD_ff
-        Pr = jnp.where(repl > 0, P * Dcc / (Dcc + d_min), P)
+        if repl_on:
+            Dcc = jnp.maximum(dd_cc * rD_cc, d_min)
+            Pr = P * Dcc / (Dcc + d_min)
+        else:
+            Pr = P
         eta_cc = zcc * e_inv2
         eta_ff = zff * e_inv2
         iso = (zcc - eta_cc) * eD - Pr * 0.5
         s11_t = eta_cc * (eD + eT) + iso
         s22_t = eta_cc * (eD - eT) + iso
-        s12_t = 2 * eta_ff * e12
+        s12_t = eta_ff * eS
         g2cc = jnp.clip(zcc * gcc, amin2, amax2)
         g2ff = jnp.clip(zff * gff, amin2, amax2)
         rg_cc = rsqrt(g2cc)
@@ -790,18 +817,20 @@ def _tiled_curv_kernel(K, base_even, make_fillers, has_drag, immersed,
         sT = s11m - s22m
         yT = dy_cc2 * sT
         xS = dx_ff2 * s12m
-        div_x = (dy_fc * (sD - sp(sD, 0)) * 0.5
-                 + (yT - sp(yT, 0)) * inv_dy_fc * 0.5
+        # 0.5·a + 0.5·b grouped as 0.5·(a + b): one scale instead of two
+        # (exact — the halvings commute with the sum's rounding)
+        div_x = (0.5 * (dy_fc * (sD - sp(sD, 0))
+                        + (yT - sp(yT, 0)) * inv_dy_fc)
                  + (sm(xS, 1) - xS) * inv_dx_fc) * inv_az_fc
         xT = dx_cc2 * sT
         yS = dy_ff2 * s12m
-        div_y = (dx_cf * (sD - sp(sD, 1)) * 0.5
-                 - (xT - sp(xT, 1)) * inv_dx_cf * 0.5
+        div_y = (0.5 * (dx_cf * (sD - sp(sD, 1))
+                        - (xT - sp(xT, 1)) * inv_dx_cf)
                  + (sm(yS, 0) - yS) * inv_dy_cf) * inv_az_cf
         return div_x, div_y
 
     def u_update(u, v, div_x, alpha):
-        v_fc = ixf_(iyc_(v))
+        v_fc = ixf_yc_(v)
         du = ue - u
         dv = ve_fc - v_fc
         speed = jnp.sqrt(du * du + dv * dv)
@@ -815,7 +844,7 @@ def _tiled_curv_kernel(K, base_even, make_fillers, has_drag, immersed,
         return fill_fc(u_new)
 
     def v_update(u, v, div_y, alpha):
-        u_cf = ixc_(iyf_(u))
+        u_cf = ixc_yf_(u)
         dv = ve - v
         du = ue_cf - u_cf
         speed = jnp.sqrt(du * du + dv * dv)
@@ -1037,10 +1066,12 @@ def tiled_curvilinear_momentum_step(model, state, dt, u_start, v_start,
                          memory_space=pltpu.VMEM)
     out_rows, out_cols = ntx * TX, nty * TY
 
+    repl_on = model.dynamics.rheology.pressure_formulation == "replacement"
+
     def run_chunk(base_even, carry):
         kernel = functools.partial(_tiled_curv_kernel, K, base_even,
                                    make_fillers, has_drag, immersed,
-                                   f_plane, geom)
+                                   f_plane, repl_on, geom)
         carry3 = slab3(jnp.stack(carry))
         out = pl.pallas_call(
             kernel,
