@@ -136,7 +136,7 @@ def fused_available(model):
     return True
 
 
-def _evp_kernel(nsub, params_ref,
+def _evp_kernel(nsub, repl_on, params_ref,
                 P_ref, Pff_ref, gcc_ref, gff_ref,
                 drag_u_ref, invm_u_ref, act_u_ref, un_ref,
                 drag_v_ref, invm_v_ref, act_v_ref, vn_ref,
@@ -157,7 +157,6 @@ def _evp_kernel(nsub, params_ref,
     a_max = p[_P_AMAX]
     c_alpha = p[_P_CALPHA]
     d_min = p[_P_DMIN]
-    repl = p[_P_REPL]      # 1.0 → replacement pressure
 
     P = P_ref[:]
     Pff = Pff_ref[:]
@@ -192,6 +191,25 @@ def _evp_kernel(nsub, params_ref,
     def iyc_(q):
         return 0.5 * (q + sm(q, 1))
 
+    # fused double interpolations — one 0.25 scale instead of two 0.5s
+    # (exact: power-of-two scalings commute with rounding, so every r5 op
+    # -diet transform below is an FP identity of the r3 form)
+    def ixyf_(q):
+        t = q + sp(q, 1)
+        return 0.25 * (t + sp(t, 0))
+
+    def ixyc_(q):
+        t = q + sm(q, 1)
+        return 0.25 * (t + sm(t, 0))
+
+    def ixf_yc_(q):
+        t = q + sm(q, 1)
+        return 0.25 * (t + sp(t, 0))
+
+    def ixc_yf_(q):
+        t = q + sp(q, 1)
+        return 0.25 * (t + sm(t, 0))
+
     # Transcendental-lean substep algebra (measured ~1.3× on a v5e — the
     # loop is VPU-issue-bound, see validation/perf_kernel_surgery.py):
     # 1/Δ via clamped rsqrt (ζ needs only the reciprocal), γ and 1/γ from one
@@ -206,34 +224,43 @@ def _evp_kernel(nsub, params_ref,
     amin2 = a_min * a_min
     amax2 = a_max * a_max
     rsqrt = lax.rsqrt
+    Ph = 0.5 * P           # loop-invariant halved strengths (exact)
+    Pffh = 0.5 * Pff
 
     def stresses(u, v, s11, s22, s12):
+        # r5 op diet (all FP identities of the r3 forms): eS = 2·e12
+        # carried instead of e12 (4·(eS/2)² ≡ eS², 2η·(eS/2) ≡ η·eS),
+        # double interpolations fused, halved strengths hoisted, and the
+        # replacement-pressure select resolved statically.
         e11 = (sm(u, 0) - u) * inv_dx
         e22 = (sm(v, 1) - v) * inv_dy
-        e12 = 0.5 * ((u - sp(u, 1)) * inv_dy + (v - sp(v, 0)) * inv_dx)
+        eS = (u - sp(u, 1)) * inv_dy + (v - sp(v, 0)) * inv_dx
 
         d_cc = e11 + e22
         t_cc = e11 - e22
-        d_ff = ixf_(iyf_(d_cc))
-        t_ff = ixf_(iyf_(t_cc))
-        e12c = ixc_(iyc_(e12))
+        d_ff = ixyf_(d_cc)
+        t_ff = ixyf_(t_cc)
+        eSc = ixyc_(eS)
 
-        dd_cc = d_cc * d_cc + (t_cc * t_cc + 4 * e12c * e12c) * e_inv2
-        dd_ff = d_ff * d_ff + (t_ff * t_ff + 4 * e12 * e12) * e_inv2
+        dd_cc = d_cc * d_cc + (t_cc * t_cc + eSc * eSc) * e_inv2
+        dd_ff = d_ff * d_ff + (t_ff * t_ff + eS * eS) * e_inv2
         rD_cc = jnp.minimum(rsqrt(dd_cc), inv_dmin)   # = 1/max(Δcc, Δmin)
         rD_ff = jnp.minimum(rsqrt(dd_ff), inv_dmin)
-        Dcc = jnp.maximum(dd_cc * rD_cc, d_min)
-        zcc = 0.5 * P * rD_cc
-        zff = 0.5 * Pff * rD_ff
+        zcc = Ph * rD_cc
+        zff = Pffh * rD_ff
 
-        Pr = jnp.where(repl > 0, P * Dcc / (Dcc + d_min), P)
+        if repl_on:
+            Dcc = jnp.maximum(dd_cc * rD_cc, d_min)
+            Prh = Ph * Dcc / (Dcc + d_min)
+        else:
+            Prh = Ph
 
         eta_cc = zcc * e_inv2
         eta_ff = zff * e_inv2
-        iso = (zcc - eta_cc) * d_cc - Pr * 0.5
+        iso = (zcc - eta_cc) * d_cc - Prh
         s11_t = 2 * eta_cc * e11 + iso
         s22_t = 2 * eta_cc * e22 + iso
-        s12_t = 2 * eta_ff * e12
+        s12_t = eta_ff * eS
 
         # dynamic relaxation γ = clamp(√(ζ·cαΔt/m/Az)), α⁺ where m ≤ 0
         g2cc = jnp.clip(zcc * gcc, amin2, amax2)
@@ -250,7 +277,7 @@ def _evp_kernel(nsub, params_ref,
 
     def u_update(u, v, s11, s12, alpha):
         div_x = (s11 - sp(s11, 0)) * inv_dx + (sm(s12, 1) - s12) * inv_dy
-        v_fc = ixf_(iyc_(v))
+        v_fc = ixf_yc_(v)
         du = ue - u
         dv = ve - v_fc
         speed = jnp.sqrt(du * du + dv * dv)
@@ -269,7 +296,7 @@ def _evp_kernel(nsub, params_ref,
 
     def v_update(u, v, s22, s12, alpha):
         div_y = (s22 - sp(s22, 1)) * inv_dy + (sm(s12, 0) - s12) * inv_dx
-        u_cf = ixc_(iyf_(u))
+        u_cf = ixc_yf_(u)
         dv = ve - v
         du = ue - u_cf
         speed = jnp.sqrt(du * du + dv * dv)
@@ -414,7 +441,9 @@ def fused_split_explicit_momentum_step(model, state, dt, u_start, v_start,
         consts = [I(q) for q in (P_pad, Pff_pad, gcc_pad, gff_pad,
                                  drag_u_pad, invm_u_pad, act_u_pad, u_start,
                                  drag_v_pad, invm_v_pad, act_v_pad, v_start)]
-        kernel = functools.partial(_evp_kernel, nsub)
+        kernel = functools.partial(
+            _evp_kernel, nsub,
+            rheo.pressure_formulation == "replacement")
         shape = carry_in[0].shape
         out_shape = [jax.ShapeDtypeStruct(shape, jnp.float32)] * 6
         n_in = 1 + len(consts) + len(carry_in)
@@ -432,7 +461,9 @@ def fused_split_explicit_momentum_step(model, state, dt, u_start, v_start,
         from .pallas_evp_tiled import tiled_chunked_evp
         outs = tiled_chunked_evp(nsub, params,
                                  I(m_cc), I(a), I(P_pad), I(u_start), I(v_start),
-                                 *carry_in, interpret=interpret)
+                                 *carry_in, interpret=interpret,
+                                 repl_on=rheo.pressure_formulation
+                                 == "replacement")
 
     u_i, v_i, s11_i, s22_i, s12_i, al_i = outs
 

@@ -199,7 +199,8 @@ def _make_fillers_folded(grid):
     return make
 
 
-def _curvilinear_kernel(nsub, make_fillers, has_fold, has_drag, params_ref,
+def _curvilinear_kernel(nsub, make_fillers, has_fold, has_drag, repl_on,
+                        params_ref,
                         *refs):
     if has_fold:
         pface_ref, pcenter_ref = refs[:2]
@@ -230,7 +231,6 @@ def _curvilinear_kernel(nsub, make_fillers, has_fold, has_drag, params_ref,
     a_min = p[_P_AMIN]
     a_max = p[_P_AMAX]
     d_min = p[_P_DMIN]
-    repl = p[_P_REPL]
 
     # metric constants + their loop-invariant derived forms (computed once,
     # live in VMEM across all substeps)
@@ -293,12 +293,32 @@ def _curvilinear_kernel(nsub, make_fillers, has_fold, has_drag, params_ref,
     def iyc_(q):
         return 0.5 * (q + sm(q, 1))
 
+    def ixyf_(q):
+        t = q + sp(q, 1)
+        return 0.25 * (t + sp(t, 0))
+
+    def ixyc_(q):
+        t = q + sm(q, 1)
+        return 0.25 * (t + sm(t, 0))
+
+    def ixf_yc_(q):
+        t = q + sm(q, 1)
+        return 0.25 * (t + sp(t, 0))
+
+    def ixc_yf_(q):
+        t = q + sp(q, 1)
+        return 0.25 * (t + sm(t, 0))
+
     # transcendental-lean scalar forms (see pallas_evp._evp_kernel)
     inv_dt = 1.0 / dt
     inv_dmin = 1.0 / d_min
     amin2 = a_min * a_min
     amax2 = a_max * a_max
     rsqrt = lax.rsqrt
+    Ph = 0.5 * P
+    Pffh = 0.5 * Pff
+    vefc_ = ixf_yc_(ve)
+    uecf_ = ixc_yf_(ue)
 
     def stresses(u, v, s11, s22, s12):
         # SBP strain rates (`rheologies.py:36-47`):
@@ -320,24 +340,27 @@ def _curvilinear_kernel(nsub, make_fillers, has_fold, has_drag, params_ref,
         # invariants interpolate the pair (one ixy and the e11/e22 splits
         # saved; see pallas_evp._evp_kernel for the transcendental-lean
         # algebra, validation/perf_kernel_surgery.py for the measurement)
-        e12 = 0.5 * eS
-        d_ff = ixf_(iyf_(eD))
-        t_ff = ixf_(iyf_(eT))
-        e12c = ixc_(iyc_(e12))
-        dd_cc = eD * eD + (eT * eT + 4 * e12c * e12c) * e_inv2
-        dd_ff = d_ff * d_ff + (t_ff * t_ff + 4 * e12 * e12) * e_inv2
+        # r5 op diet (FP identities, see pallas_evp._evp_kernel)
+        d_ff = ixyf_(eD)
+        t_ff = ixyf_(eT)
+        eSc = ixyc_(eS)
+        dd_cc = eD * eD + (eT * eT + eSc * eSc) * e_inv2
+        dd_ff = d_ff * d_ff + (t_ff * t_ff + eS * eS) * e_inv2
         rD_cc = jnp.minimum(rsqrt(dd_cc), inv_dmin)
         rD_ff = jnp.minimum(rsqrt(dd_ff), inv_dmin)
-        Dcc = jnp.maximum(dd_cc * rD_cc, d_min)
-        zcc = 0.5 * P * rD_cc
-        zff = 0.5 * Pff * rD_ff
-        Pr = jnp.where(repl > 0, P * Dcc / (Dcc + d_min), P)
+        zcc = Ph * rD_cc
+        zff = Pffh * rD_ff
+        if repl_on:
+            Dcc = jnp.maximum(dd_cc * rD_cc, d_min)
+            Prh = Ph * Dcc / (Dcc + d_min)
+        else:
+            Prh = Ph
         eta_cc = zcc * e_inv2
         eta_ff = zff * e_inv2
-        iso = (zcc - eta_cc) * eD - Pr * 0.5
+        iso = (zcc - eta_cc) * eD - Prh
         s11_t = eta_cc * (eD + eT) + iso
         s22_t = eta_cc * (eD - eT) + iso
-        s12_t = 2 * eta_ff * e12
+        s12_t = eta_ff * eS
         g2cc = jnp.clip(zcc * gcc, amin2, amax2)
         g2ff = jnp.clip(zff * gff, amin2, amax2)
         rg_cc = rsqrt(g2cc)
@@ -371,9 +394,9 @@ def _curvilinear_kernel(nsub, make_fillers, has_fold, has_drag, params_ref,
         return div_x, div_y
 
     def u_update(u, v, div_x, alpha):
-        v_fc = ixf_(iyc_(v))
+        v_fc = ixf_yc_(v)
         du = ue - u
-        dv = ixf_(iyc_(ve)) - v_fc
+        dv = vefc_ - v_fc
         speed = jnp.sqrt(du * du + dv * dv)
         imm = (imms_u * u + immn_u * sm(u, 1)) * invm_u if has_drag else 0.0
         Gu = (f_cor * v_fc - tau_u_top * drag_u + rC * speed * ue * drag_u
@@ -385,9 +408,9 @@ def _curvilinear_kernel(nsub, make_fillers, has_fold, has_drag, params_ref,
         return fill_fc(u_new)
 
     def v_update(u, v, div_y, alpha):
-        u_cf = ixc_(iyf_(u))
+        u_cf = ixc_yf_(u)
         dv = ve - v
-        du = ixc_(iyf_(ue)) - u_cf
+        du = uecf_ - u_cf
         speed = jnp.sqrt(du * du + dv * dv)
         imm = (immw_v * v + imme_v * sm(v, 0)) * invm_v if has_drag else 0.0
         Gv = (-f_cor * u_cf - tau_v_top * drag_v + rC * speed * ve * drag_v
@@ -581,7 +604,9 @@ def curvilinear_fused_momentum_step(model, state, dt, u_start, v_start,
         consts = [jnp.asarray(Pf), jnp.asarray(Pc)] + consts
     kernel = functools.partial(_curvilinear_kernel, nsub,
                                _make_fillers_folded(grid), grid.north_fold,
-                               has_drag)
+                               has_drag,
+                               model.dynamics.rheology.pressure_formulation
+                               == "replacement")
 
     out_shape = [jax.ShapeDtypeStruct(grid.shape, jnp.float32)] * 6
     n_in = 1 + len(consts) + len(carry_in)

@@ -164,7 +164,8 @@ def _make_fillers(grid):
     return fill_fc, fill_cf
 
 
-def _padded_kernel(nsub, fill_fc, fill_cf, has_drag, params_ref, *refs):
+def _padded_kernel(nsub, fill_fc, fill_cf, has_drag, repl_on,
+                   params_ref, *refs):
     # The 4 immersed-drag coefficient arrays are inputs ONLY when an
     # ImmersedDrag is configured (`has_drag`): keeping them (and the drag
     # term's shift temporaries) out of the drag-free kernel preserves the
@@ -191,7 +192,6 @@ def _padded_kernel(nsub, fill_fc, fill_cf, has_drag, params_ref, *refs):
     a_min = p[_P_AMIN]
     a_max = p[_P_AMAX]
     d_min = p[_P_DMIN]
-    repl = p[_P_REPL]
 
     P = P_ref[:]
     Pff = Pff_ref[:]
@@ -237,6 +237,22 @@ def _padded_kernel(nsub, fill_fc, fill_cf, has_drag, params_ref, *refs):
     def iyc_(q):
         return 0.5 * (q + sm(q, 1))
 
+    def ixyf_(q):
+        t = q + sp(q, 1)
+        return 0.25 * (t + sp(t, 0))
+
+    def ixyc_(q):
+        t = q + sm(q, 1)
+        return 0.25 * (t + sm(t, 0))
+
+    def ixf_yc_(q):
+        t = q + sm(q, 1)
+        return 0.25 * (t + sp(t, 0))
+
+    def ixc_yf_(q):
+        t = q + sp(q, 1)
+        return 0.25 * (t + sm(t, 0))
+
     # Transcendental-lean substep algebra (see pallas_evp._evp_kernel and
     # validation/perf_kernel_surgery.py: ~1.3x, agreement to ulps/substep)
     inv_dt = 1.0 / dt
@@ -244,30 +260,40 @@ def _padded_kernel(nsub, fill_fc, fill_cf, has_drag, params_ref, *refs):
     amin2 = a_min * a_min
     amax2 = a_max * a_max
     rsqrt = lax.rsqrt
+    Ph = 0.5 * P
+    Pffh = 0.5 * Pff
+    vefc_ = ixf_yc_(ve)
+    uecf_ = ixc_yf_(ue)
 
     def stresses(u, v, s11, s22, s12):
         e11 = (sm(u, 0) - u) * inv_dx
         e22 = (sm(v, 1) - v) * inv_dy
-        e12 = 0.5 * ((u - sp(u, 1)) * inv_dy + (v - sp(v, 0)) * inv_dx)
+        # r5 op diet (FP identities of the r3 forms): eS = 2*e12 carried
+        # (4*(eS/2)^2 == eS^2, 2*eta*(eS/2) == eta*eS), fused double
+        # interpolations, hoisted halved strengths, static repl branch.
+        eS = (u - sp(u, 1)) * inv_dy + (v - sp(v, 0)) * inv_dx
         d_cc = e11 + e22
         t_cc = e11 - e22
-        d_ff = ixf_(iyf_(d_cc))
-        t_ff = ixf_(iyf_(t_cc))
-        e12c = ixc_(iyc_(e12))
-        dd_cc = d_cc * d_cc + (t_cc * t_cc + 4 * e12c * e12c) * e_inv2
-        dd_ff = d_ff * d_ff + (t_ff * t_ff + 4 * e12 * e12) * e_inv2
+        d_ff = ixyf_(d_cc)
+        t_ff = ixyf_(t_cc)
+        eSc = ixyc_(eS)
+        dd_cc = d_cc * d_cc + (t_cc * t_cc + eSc * eSc) * e_inv2
+        dd_ff = d_ff * d_ff + (t_ff * t_ff + eS * eS) * e_inv2
         rD_cc = jnp.minimum(rsqrt(dd_cc), inv_dmin)
         rD_ff = jnp.minimum(rsqrt(dd_ff), inv_dmin)
-        Dcc = jnp.maximum(dd_cc * rD_cc, d_min)
-        zcc = 0.5 * P * rD_cc
-        zff = 0.5 * Pff * rD_ff
-        Pr = jnp.where(repl > 0, P * Dcc / (Dcc + d_min), P)
+        zcc = Ph * rD_cc
+        zff = Pffh * rD_ff
+        if repl_on:
+            Dcc = jnp.maximum(dd_cc * rD_cc, d_min)
+            Prh = Ph * Dcc / (Dcc + d_min)
+        else:
+            Prh = Ph
         eta_cc = zcc * e_inv2
         eta_ff = zff * e_inv2
-        iso = (zcc - eta_cc) * d_cc - Pr * 0.5
+        iso = (zcc - eta_cc) * d_cc - Prh
         s11_t = 2 * eta_cc * e11 + iso
         s22_t = 2 * eta_cc * e22 + iso
-        s12_t = 2 * eta_ff * e12
+        s12_t = eta_ff * eS
         g2cc = jnp.clip(zcc * gcc, amin2, amax2)
         g2ff = jnp.clip(zff * gff, amin2, amax2)
         rg_cc = rsqrt(g2cc)
@@ -283,9 +309,9 @@ def _padded_kernel(nsub, fill_fc, fill_cf, has_drag, params_ref, *refs):
         s11m = s11 * msk_cc
         s12m = s12 * msk_ff
         div_x = (s11m - sp(s11m, 0)) * inv_dx + (sm(s12m, 1) - s12m) * inv_dy
-        v_fc = ixf_(iyc_(v))
+        v_fc = ixf_yc_(v)
         du = ue - u
-        dv = ixf_(iyc_(ve)) - v_fc
+        dv = vefc_ - v_fc
         speed = jnp.sqrt(du * du + dv * dv)
         imm = (imms_u * u + immn_u * sm(u, 1)) * invm_u if has_drag else 0.0
         Gu = (f_cor * v_fc - tau_u_top * drag_u + rC * speed * ue * drag_u
@@ -300,9 +326,9 @@ def _padded_kernel(nsub, fill_fc, fill_cf, has_drag, params_ref, *refs):
         s22m = s22 * msk_cc
         s12m = s12 * msk_ff
         div_y = (s22m - sp(s22m, 1)) * inv_dy + (sm(s12m, 0) - s12m) * inv_dx
-        u_cf = ixc_(iyf_(u))
+        u_cf = ixc_yf_(u)
         dv = ve - v
-        du = ixc_(iyf_(ue)) - u_cf
+        du = uecf_ - u_cf
         speed = jnp.sqrt(du * du + dv * dv)
         imm = (immw_v * v + imme_v * sm(v, 0)) * invm_v if has_drag else 0.0
         Gv = (-f_cor * u_cf - tau_v_top * drag_v + rC * speed * ve * drag_v
@@ -605,7 +631,9 @@ def padded_fused_momentum_step(model, state, dt, u_start, v_start,
     params, consts, carry_in, P, has_drag = _prepare_inputs(model, state, dt,
                                                             u_start, v_start)
     fill_fc, fill_cf = _make_fillers(grid)
-    kernel = functools.partial(_padded_kernel, nsub, fill_fc, fill_cf, has_drag)
+    kernel = functools.partial(
+        _padded_kernel, nsub, fill_fc, fill_cf, has_drag,
+        model.dynamics.rheology.pressure_formulation == "replacement")
 
     out_shape = [jax.ShapeDtypeStruct(grid.shape, jnp.float32)] * 6
     n_in = 1 + len(consts) + len(carry_in)

@@ -190,7 +190,7 @@ def _pick_tiles_2d(N, ny, K):
     return best[1], best[2]
 
 
-def _tiled_kernel(K, TX, W, TY, Wy, base_even, params_ref,
+def _tiled_kernel(K, TX, W, TY, Wy, base_even, repl_on, params_ref,
                   m_ref, a_ref, P_ref, un_ref, vn_ref,
                   u_ref, v_ref, s11_ref, s22_ref, s12_ref, al_ref,
                   o_u_ref, o_v_ref, o_s11_ref, o_s22_ref, o_s12_ref, o_al_ref):
@@ -214,7 +214,6 @@ def _tiled_kernel(K, TX, W, TY, Wy, base_even, params_ref,
     d_min = p[_P_DMIN]
     mass_min = p[_P_MASSMIN]
     conc_min = p[_P_CONCMIN]
-    repl = p[_P_REPL]
 
     roll = pltpu.roll
 
@@ -235,6 +234,22 @@ def _tiled_kernel(K, TX, W, TY, Wy, base_even, params_ref,
 
     def iyc_(q):
         return 0.5 * (q + sm(q, 1))
+
+    def ixyf_(q):
+        t = q + sp(q, 1)
+        return 0.25 * (t + sp(t, 0))
+
+    def ixyc_(q):
+        t = q + sm(q, 1)
+        return 0.25 * (t + sm(t, 0))
+
+    def ixf_yc_(q):
+        t = q + sm(q, 1)
+        return 0.25 * (t + sp(t, 0))
+
+    def ixc_yf_(q):
+        t = q + sp(q, 1)
+        return 0.25 * (t + sm(t, 0))
 
     un = un_ref[:]
     vn = vn_ref[:]
@@ -259,8 +274,8 @@ def _tiled_kernel(K, TX, W, TY, Wy, base_even, params_ref,
     drag_v = invm_v * a_cf
     act_u = jnp.where((m_fc >= mass_min) & (a_fc >= conc_min), 1.0, 0.0)
     act_v = jnp.where((m_cf >= mass_min) & (a_cf >= conc_min), 1.0, 0.0)
-    m_ff = ixf_(iyf_(m))
-    Pff = ixf_(iyf_(P))
+    m_ff = ixyf_(m)
+    Pff = ixyf_(P)
     ok_cc = m > 0
     ok_ff = m_ff > 0
     gcc = jnp.where(ok_cc, c_alpha * dt * inv_az / jnp.where(ok_cc, m, 1.0), -1.0)
@@ -273,32 +288,40 @@ def _tiled_kernel(K, TX, W, TY, Wy, base_even, params_ref,
     amin2 = a_min * a_min
     amax2 = a_max * a_max
     rsqrt = lax.rsqrt
+    Ph = 0.5 * P
+    Pffh = 0.5 * Pff
 
     def substep_(carry, even):
         u, v, s11, s22, s12, alpha = carry
 
         e11 = (sm(u, 0) - u) * inv_dx
         e22 = (sm(v, 1) - v) * inv_dy
-        e12 = 0.5 * ((u - sp(u, 1)) * inv_dy + (v - sp(v, 0)) * inv_dx)
+        # r5 op diet (FP identities of the r3 forms): eS = 2*e12 carried
+        # (4*(eS/2)^2 == eS^2, 2*eta*(eS/2) == eta*eS), fused double
+        # interpolations, hoisted halved strengths, static repl branch.
+        eS = (u - sp(u, 1)) * inv_dy + (v - sp(v, 0)) * inv_dx
         d_cc = e11 + e22
         t_cc = e11 - e22
-        d_ff = ixf_(iyf_(d_cc))
-        t_ff = ixf_(iyf_(t_cc))
-        e12c = ixc_(iyc_(e12))
-        dd_cc = d_cc * d_cc + (t_cc * t_cc + 4 * e12c * e12c) * e_inv2
-        dd_ff = d_ff * d_ff + (t_ff * t_ff + 4 * e12 * e12) * e_inv2
+        d_ff = ixyf_(d_cc)
+        t_ff = ixyf_(t_cc)
+        eSc = ixyc_(eS)
+        dd_cc = d_cc * d_cc + (t_cc * t_cc + eSc * eSc) * e_inv2
+        dd_ff = d_ff * d_ff + (t_ff * t_ff + eS * eS) * e_inv2
         rD_cc = jnp.minimum(rsqrt(dd_cc), inv_dmin)
         rD_ff = jnp.minimum(rsqrt(dd_ff), inv_dmin)
-        Dcc = jnp.maximum(dd_cc * rD_cc, d_min)
-        zcc = 0.5 * P * rD_cc
-        zff = 0.5 * Pff * rD_ff
-        Pr = jnp.where(repl > 0, P * Dcc / (Dcc + d_min), P)
+        zcc = Ph * rD_cc
+        zff = Pffh * rD_ff
+        if repl_on:
+            Dcc = jnp.maximum(dd_cc * rD_cc, d_min)
+            Prh = Ph * Dcc / (Dcc + d_min)
+        else:
+            Prh = Ph
         eta_cc = zcc * e_inv2
         eta_ff = zff * e_inv2
-        iso = (zcc - eta_cc) * d_cc - Pr * 0.5
+        iso = (zcc - eta_cc) * d_cc - Prh
         s11_t = 2 * eta_cc * e11 + iso
         s22_t = 2 * eta_cc * e22 + iso
-        s12_t = 2 * eta_ff * e12
+        s12_t = eta_ff * eS
         g2cc = jnp.clip(zcc * gcc, amin2, amax2)
         g2ff = jnp.clip(zff * gff, amin2, amax2)
         rg_cc = rsqrt(g2cc)
@@ -312,7 +335,7 @@ def _tiled_kernel(K, TX, W, TY, Wy, base_even, params_ref,
 
         def u_update(u, v):
             div_x = (s11 - sp(s11, 0)) * inv_dx + (sm(s12, 1) - s12) * inv_dy
-            v_fc = ixf_(iyc_(v))
+            v_fc = ixf_yc_(v)
             du = ue - u
             dv = ve - v_fc
             speed = jnp.sqrt(du * du + dv * dv)
@@ -324,7 +347,7 @@ def _tiled_kernel(K, TX, W, TY, Wy, base_even, params_ref,
 
         def v_update(u, v):
             div_y = (s22 - sp(s22, 1)) * inv_dy + (sm(s12, 0) - s12) * inv_dx
-            u_cf = ixc_(iyf_(u))
+            u_cf = ixc_yf_(u)
             dv = ve - v
             du = ue - u_cf
             speed = jnp.sqrt(du * du + dv * dv)
@@ -381,20 +404,68 @@ def _slab_indices(N, n_tiles, TX, W):
     return _np.concatenate(rows)
 
 
+def _index_runs(idx):
+    """Decompose a static gather index vector into maximal unit-stride and
+    constant runs: ``[(kind, start, length)]`` with kind "u" (idx, idx+1,
+    …) or "c" (idx repeated)."""
+    runs, i, n = [], 0, len(idx)
+    while i < n:
+        j = i + 1
+        if j < n and idx[j] == idx[i] + 1:
+            while j < n and idx[j] == idx[j - 1] + 1:
+                j += 1
+            runs.append(("u", int(idx[i]), j - i))
+        elif j < n and idx[j] == idx[i]:
+            while j < n and idx[j] == idx[i]:
+                j += 1
+            runs.append(("c", int(idx[i]), j - i))
+        else:
+            runs.append(("u", int(idx[i]), 1))
+        i = j
+    return runs
+
+
+def gather_as_slices(q, idx, axis):
+    """``jnp.take(q, idx, axis)`` for piecewise unit-stride/constant static
+    index vectors, lowered as slices + broadcasts + one concat.
+
+    The overlapped-tile gathers of every tiled EVP tier are of this form
+    (each tile window is contiguous modulo a periodic wrap or edge clamp),
+    and XLA lowers slice+concat to plain DMA while a general take() at
+    slab size compiled to a gather loop costing ~1.3 ms/chunk on a v5e —
+    the dominant per-chunk fixed cost (r5 measurement; the fix took the
+    tripolar flagship 14.1 → 15.5 M pts/s).  Bitwise-identical data."""
+    runs = _index_runs(idx)
+    if len(runs) == 1 and runs[0] == ("u", 0, q.shape[axis]):
+        return q
+    parts = []
+    for kind, s, L in runs:
+        sl = [slice(None)] * q.ndim
+        sl[axis] = slice(s, s + (L if kind == "u" else 1))
+        piece = q[tuple(sl)]
+        if kind == "c" and L > 1:
+            shp = list(piece.shape)
+            shp[axis] = L
+            piece = jnp.broadcast_to(piece, shp)
+        parts.append(piece)
+    return jnp.concatenate(parts, axis)
+
+
 def _slabs(q, n_tiles, TX, W, nty=1, TY=None, Wy=0):
     """(N, ny) doubly-periodic array → contiguous halo-extended tiles
-    ((n_tiles·(TX+2W), nty·(TY+2Wy))): one static gather per dim, so
-    non-overlapping BlockSpec blocks each get one."""
+    ((n_tiles·(TX+2W), nty·(TY+2Wy))): one static slices+concat gather per
+    dim, so non-overlapping BlockSpec blocks each get one."""
     idx = _slab_indices(q.shape[0], n_tiles, TX, W)
-    q = q[idx]
+    q = gather_as_slices(q, idx, 0)
     if nty > 1 or Wy:
         idy = _slab_indices(q.shape[1], nty, TY, Wy)
-        q = q[:, idy]
+        q = gather_as_slices(q, idy, 1)
     return q
 
 
 def tiled_chunked_evp(nsub, params, m, a, P, un, vn,
-                      u, v, s11, s22, s12, alpha, interpret=False):
+                      u, v, s11, s22, s12, alpha, interpret=False,
+                      repl_on=True):
     """Run ``nsub`` substeps in chunks of CHUNK_SUBSTEPS over TILE_ROWS-row
     x-slabs.  Operands are interior-only (N, ny) f32 arrays; returns the six
     updated carry arrays.  Requires N % TILE_ROWS == 0 and a chunkable nsub
@@ -418,7 +489,8 @@ def tiled_chunked_evp(nsub, params, m, a, P, un, vn,
 
     def run_chunk(base_even, carry):
         u, v, s11, s22, s12, alpha = carry
-        kernel = functools.partial(_tiled_kernel, K, TX, W, TY, Wy, base_even)
+        kernel = functools.partial(_tiled_kernel, K, TX, W, TY, Wy, base_even,
+                                   repl_on)
         carry_slabs = [_slabs(q, n_tiles, TX, W, nty, TY, Wy)
                        for q in (u, v, s11, s22, s12, alpha)]
         outs = pl.pallas_call(

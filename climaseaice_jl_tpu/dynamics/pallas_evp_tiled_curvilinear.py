@@ -1032,28 +1032,14 @@ def tiled_curvilinear_momentum_step(model, state, dt, u_start, v_start,
     idx_x, _ = _tile_indices(nxp, Nx, Hx, ntx, TX, Wx, wrap_x)
     idx_y, _ = _tile_indices(nyp, Ny, Hy, nty, TY, Wy, wrap_y)
 
-    def _runs(idx):
-        """Maximal unit-stride runs of a gather index vector, as slices."""
-        runs, start = [], 0
-        for k in range(1, len(idx) + 1):
-            if k == len(idx) or idx[k] != idx[k - 1] + 1:
-                runs.append(slice(int(idx[start]), int(idx[k - 1]) + 1))
-                start = k
-        return runs
-
-    runs_x, runs_y = _runs(idx_x), _runs(idx_y)
-
     def slab3(q):
-        # The overlapped-tile gather as slices+concats: idx_x/idx_y are
-        # piecewise unit-stride (each tile window is contiguous modulo the
-        # periodic wrap), and XLA lowers slice+concat to plain DMA while a
-        # general take() at this size compiled to a gather that dominated
-        # the per-chunk cost (~1.3 ms/chunk measured r5 — why K=8's lower
-        # redundancy lost to K=12).  Bitwise-identical data to the gather.
-        q = jnp.concatenate([q[:, s] for s in runs_x], 1)
-        if len(runs_y) == 1 and runs_y[0] == slice(0, q.shape[2]):
-            return q
-        return jnp.concatenate([q[:, :, s] for s in runs_y], 2)
+        # The overlapped-tile gather as slices+concats (see
+        # pallas_evp_tiled.gather_as_slices): a general take() at this size
+        # compiled to a gather costing ~1.3 ms/chunk — the dominant
+        # per-chunk fixed cost (why K=8's lower redundancy lost to K=12).
+        from .pallas_evp_tiled import gather_as_slices
+        q = gather_as_slices(q, idx_x, 1)
+        return gather_as_slices(q, idx_y, 2)
 
     consts3 = slab3(jnp.stack(planes))
 

@@ -259,7 +259,8 @@ def _make_slab_fillers(grid, TX, W, TY, Wy, grow):
     return fill_fc, fill_cf
 
 
-def _tiled_padded_kernel(K, TX, W, TY, Wy, make_fillers, has_drag, base_even,
+def _tiled_padded_kernel(K, TX, W, TY, Wy, make_fillers, has_drag, repl_on,
+                         base_even,
                          params_ref, gx_ref, gy_ref, *refs):
     """One K-substep chunk on one halo-extended x-slab — the body mirrors
     `pallas_evp_padded._padded_kernel` with the chunk-base parity baked in
@@ -288,7 +289,6 @@ def _tiled_padded_kernel(K, TX, W, TY, Wy, make_fillers, has_drag, base_even,
     a_min = p[_P_AMIN]
     a_max = p[_P_AMAX]
     d_min = p[_P_DMIN]
-    repl = p[_P_REPL]
 
     P = P_ref[:]
     Pff = Pff_ref[:]
@@ -335,6 +335,22 @@ def _tiled_padded_kernel(K, TX, W, TY, Wy, make_fillers, has_drag, base_even,
     def iyc_(q):
         return 0.5 * (q + sm(q, 1))
 
+    def ixyf_(q):
+        t = q + sp(q, 1)
+        return 0.25 * (t + sp(t, 0))
+
+    def ixyc_(q):
+        t = q + sm(q, 1)
+        return 0.25 * (t + sm(t, 0))
+
+    def ixf_yc_(q):
+        t = q + sm(q, 1)
+        return 0.25 * (t + sp(t, 0))
+
+    def ixc_yf_(q):
+        t = q + sp(q, 1)
+        return 0.25 * (t + sm(t, 0))
+
     # Transcendental-lean substep algebra (see pallas_evp._evp_kernel and
     # validation/perf_kernel_surgery.py: ~1.3x, agreement to ulps/substep)
     inv_dt = 1.0 / dt
@@ -342,30 +358,40 @@ def _tiled_padded_kernel(K, TX, W, TY, Wy, make_fillers, has_drag, base_even,
     amin2 = a_min * a_min
     amax2 = a_max * a_max
     rsqrt = lax.rsqrt
+    Ph = 0.5 * P
+    Pffh = 0.5 * Pff
+    vefc_ = ixf_yc_(ve)
+    uecf_ = ixc_yf_(ue)
 
     def stresses(u, v, s11, s22, s12):
         e11 = (sm(u, 0) - u) * inv_dx
         e22 = (sm(v, 1) - v) * inv_dy
-        e12 = 0.5 * ((u - sp(u, 1)) * inv_dy + (v - sp(v, 0)) * inv_dx)
+        # r5 op diet (FP identities of the r3 forms): eS = 2*e12 carried
+        # (4*(eS/2)^2 == eS^2, 2*eta*(eS/2) == eta*eS), fused double
+        # interpolations, hoisted halved strengths, static repl branch.
+        eS = (u - sp(u, 1)) * inv_dy + (v - sp(v, 0)) * inv_dx
         d_cc = e11 + e22
         t_cc = e11 - e22
-        d_ff = ixf_(iyf_(d_cc))
-        t_ff = ixf_(iyf_(t_cc))
-        e12c = ixc_(iyc_(e12))
-        dd_cc = d_cc * d_cc + (t_cc * t_cc + 4 * e12c * e12c) * e_inv2
-        dd_ff = d_ff * d_ff + (t_ff * t_ff + 4 * e12 * e12) * e_inv2
+        d_ff = ixyf_(d_cc)
+        t_ff = ixyf_(t_cc)
+        eSc = ixyc_(eS)
+        dd_cc = d_cc * d_cc + (t_cc * t_cc + eSc * eSc) * e_inv2
+        dd_ff = d_ff * d_ff + (t_ff * t_ff + eS * eS) * e_inv2
         rD_cc = jnp.minimum(rsqrt(dd_cc), inv_dmin)
         rD_ff = jnp.minimum(rsqrt(dd_ff), inv_dmin)
-        Dcc = jnp.maximum(dd_cc * rD_cc, d_min)
-        zcc = 0.5 * P * rD_cc
-        zff = 0.5 * Pff * rD_ff
-        Pr = jnp.where(repl > 0, P * Dcc / (Dcc + d_min), P)
+        zcc = Ph * rD_cc
+        zff = Pffh * rD_ff
+        if repl_on:
+            Dcc = jnp.maximum(dd_cc * rD_cc, d_min)
+            Prh = Ph * Dcc / (Dcc + d_min)
+        else:
+            Prh = Ph
         eta_cc = zcc * e_inv2
         eta_ff = zff * e_inv2
-        iso = (zcc - eta_cc) * d_cc - Pr * 0.5
+        iso = (zcc - eta_cc) * d_cc - Prh
         s11_t = 2 * eta_cc * e11 + iso
         s22_t = 2 * eta_cc * e22 + iso
-        s12_t = 2 * eta_ff * e12
+        s12_t = eta_ff * eS
         g2cc = jnp.clip(zcc * gcc, amin2, amax2)
         g2ff = jnp.clip(zff * gff, amin2, amax2)
         rg_cc = rsqrt(g2cc)
@@ -381,9 +407,9 @@ def _tiled_padded_kernel(K, TX, W, TY, Wy, make_fillers, has_drag, base_even,
         s11m = s11 * msk_cc
         s12m = s12 * msk_ff
         div_x = (s11m - sp(s11m, 0)) * inv_dx + (sm(s12m, 1) - s12m) * inv_dy
-        v_fc = ixf_(iyc_(v))
+        v_fc = ixf_yc_(v)
         du = ue - u
-        dv = ixf_(iyc_(ve)) - v_fc
+        dv = vefc_ - v_fc
         speed = jnp.sqrt(du * du + dv * dv)
         imm = (imms_u * u + immn_u * sm(u, 1)) * invm_u if has_drag else 0.0
         Gu = (f_cor * v_fc - tau_u_top * drag_u + rC * speed * ue * drag_u
@@ -398,9 +424,9 @@ def _tiled_padded_kernel(K, TX, W, TY, Wy, make_fillers, has_drag, base_even,
         s22m = s22 * msk_cc
         s12m = s12 * msk_ff
         div_y = (s22m - sp(s22m, 1)) * inv_dy + (sm(s12m, 0) - s12m) * inv_dx
-        u_cf = ixc_(iyf_(u))
+        u_cf = ixc_yf_(u)
         dv = ve - v
-        du = ixc_(iyf_(ue)) - u_cf
+        du = uecf_ - u_cf
         speed = jnp.sqrt(du * du + dv * dv)
         imm = (immw_v * v + imme_v * sm(v, 0)) * invm_v if has_drag else 0.0
         Gv = (-f_cor * u_cf - tau_v_top * drag_v + rC * speed * ve * drag_v
@@ -615,13 +641,15 @@ def tiled_padded_momentum_step(model, state, dt, u_start, v_start,
     gx = jnp.broadcast_to(jnp.asarray(gx_rows)[:, None], (gx_rows.size, ncols))
     gy = jnp.broadcast_to(jnp.asarray(gy_cols)[None, :], (gx_rows.size, ncols))
 
+    from .pallas_evp_tiled import gather_as_slices
+
     def slab_int(q):       # carry (carried layout) → tiles
-        q = q[idx]
-        return q if idy is None else q[:, idy]
+        q = gather_as_slices(q, idx, 0)
+        return q if idy is None else gather_as_slices(q, idy, 1)
 
     def slab_pad(q):       # padded consts → tiles with true halo values
-        q = q[idx_pad]
-        return q if idy_pad is None else q[:, idy_pad]
+        q = gather_as_slices(q, idx_pad, 0)
+        return q if idy_pad is None else gather_as_slices(q, idy_pad, 1)
 
     def strip(q):          # padded → carried layout
         if not mx:
@@ -639,6 +667,8 @@ def tiled_padded_momentum_step(model, state, dt, u_start, v_start,
 
     carry = tuple(to_alloc(q) for q in carry)
 
+    repl_on = (model.dynamics.rheology.pressure_formulation
+               == "replacement")
     make_fillers = functools.partial(_make_slab_fillers, grid, TX, W, TY, Wy)
     bx, by = TX + 2 * W, TY + 2 * Wy
     oy = TY if Wy else nyp
@@ -654,7 +684,7 @@ def tiled_padded_momentum_step(model, state, dt, u_start, v_start,
 
     def run_chunk(base_even, carry):
         kernel = functools.partial(_tiled_padded_kernel, K, TX, W, TY, Wy,
-                                   make_fillers, has_drag, base_even)
+                                   make_fillers, has_drag, repl_on, base_even)
         carry_slabs = [slab_int(q) for q in carry]
         outs = pl.pallas_call(
             kernel,
