@@ -95,15 +95,21 @@ def _wx(K, periodic_x):
     return W + (-W) % 4  # keep bx = TX + 2W a sublane multiple (TX ≡ 0 mod 8)
 
 
+# This tier's own K cap (the rectilinear tiers keep pallas_evp_tiled.
+# CHUNK_SUBSTEPS = 15): the round-5 cropped-flagship sweep measured K=20
+# fastest (19.75 M pts/s vs 19.18 at K=12), so the search must see the
+# 16..24 range; the fixed-tile bitwise mode still uses pick_chunk (≤ 15).
+_CHUNK_CAP = 24
+
+
 def _chunk_options(nsub):
     """Divisor chunk lengths, largest first (pallas_evp_tiled.pick_chunk
     relaxed to return all options)."""
-    from .pallas_evp_tiled import CHUNK_SUBSTEPS
-    return [K for K in range(min(CHUNK_SUBSTEPS, nsub), 1, -1)
+    return [K for K in range(min(_CHUNK_CAP, nsub), 1, -1)
             if nsub % K == 0]
 
 
-def _plan_tiles(grid, nsub, mult, widen_fold=False):
+def _plan_tiles(grid, nsub, mult, widen_fold=False, cs=0):
     """Joint (K, Wy, ntx, nty) search minimizing modeled cost = redundant
     -compute ratio × (1 + 2/K) (the 1/K term prices the per-chunk HBM
     round-trip + boundary refills) under the VMEM budget and the
@@ -136,6 +142,8 @@ def _plan_tiles(grid, nsub, mult, widen_fold=False):
         Wx = _wx(K, periodic_x)
         Hy = max(grid.Hy, 2 * K + 5) if widen_fold else grid.Hy
         nyp = Ny + 2 * Hy
+        y_lo = _crop_y_lo(Hy, cs)   # solid-row crop: tiles start here
+        ey = nyp - y_lo             # computed y extent
         # Mosaic block-shape rule: tiled lane-dim blocks must be %128 (both
         # the TY outputs and the TY+2Wy inputs ⇒ Wy %64); sublane %8.
         # A single-tile dimension may be any size (block == array dim).
@@ -152,35 +160,49 @@ def _plan_tiles(grid, nsub, mult, widen_fold=False):
                 if bounded_x and ntx > 1 and (
                         TX - Wx <= Hx or (ntx - 1) * TX + Wx > Hx + Nx):
                     continue  # wall fill must trigger on exactly one tile
-                for nty in range(1, min(64, max(2, nyp // 8)) + 1):
-                    need = -(-nyp // nty)
+                for nty in range(1, min(64, max(2, ey // 8)) + 1):
+                    need = -(-ey // nty)
                     if nty == 1:
                         TY = -(-need // 8) * 8
                         Wy = 0 if bounded_y else 64
                     else:
                         TY = -(-need // 128) * 128
                         Wy = 64
-                    if nty > 1 and nty * TY - TY >= nyp:
+                    if nty > 1 and nty * TY - TY >= ey:
                         continue
                     by = TY + 2 * Wy
                     if bounded_y and nty > 1 and (
-                            TY - Wy <= Hy or (
+                            (y_lo == 0 and TY - Wy <= Hy) or (
                                 not grid.north_fold
-                                and (nty - 1) * TY + Wy > Hy + Ny)):
+                                and (nty - 1) * TY + Wy > Hy + Ny - y_lo)):
                         continue
-                    if mult * bx * by * 4 > _VMEM_BUDGET:
-                        continue
-                    # cost: Mosaic-padded redundant-compute ratio (lane dim
-                    # rounds to 128, sublane to 8) × a per-chunk overhead
-                    # term.  The 4/K weight and the padding terms are
-                    # calibrated against the round-4 on-chip plan sweeps at
-                    # 1152×960 (validation/scratch_plan_search*.py: K=12
-                    # nty=1 measured fastest; by=1032 lane-pads to 1152 and
-                    # loses 11 %; K=15/20/24 lose despite fewer chunks).
-                    bx_eff = -(-bx // 8) * 8
+                    # VMEM feasibility on LANE-PADDED block bytes: Mosaic
+                    # allocates ceil(by/128)·128 lanes, and the measured
+                    # occupancy per padded block byte is ≈ 0.92·mult (the
+                    # round-5 boundary: (K=24, bx=400, by=552→640) really
+                    # allocates 126.16 M — 123/padded-byte — and fails the
+                    # 126 M limit, while (K=20, bx=384) compiles; the
+                    # unpadded estimate passed both).
                     by_eff = -(-by // 128) * 128
+                    if 0.92 * mult * bx * by_eff * 4 > _VMEM_BUDGET:
+                        continue
+                    # cost: Mosaic-padded redundant-compute area (lane dim
+                    # rounds to 128, sublane to 8) × a per-chunk overhead
+                    # term × an odd-K penalty.  Calibrated against the
+                    # on-chip plan sweeps at 1152×960: round 4 (uncropped,
+                    # by=1024) measured K=12 nty=1 fastest and by=1032
+                    # lane-pads to 1152 losing 11 %; round 5 (solid-row
+                    # crop, ey≈525) measured K20/TX296 19.75 M > K12/240
+                    # 19.18 > K24/240 19.07 > K12/296 18.98 > K15/296 18.81
+                    # ≈ K20/240 18.79 > K10 18.1 > K5 17.9 > K8 17.0 M
+                    # pts/s.  w=7 with the padded-VMEM exclusion reproduces
+                    # both argmaxes; odd K measures ~3 % slow against its
+                    # even neighbours (K=15 in both sweeps), hence ×1.04.
+                    bx_eff = -(-bx // 8) * 8
                     ratio = (ntx * bx_eff) * (nty * by_eff) / (nxp * nyp)
-                    cost = ratio * (1 + 4.0 / K)
+                    cost = ratio * (1 + 7.0 / K)
+                    if K % 2:
+                        cost *= 1.04
                     if best is None or cost < best[0]:
                         best = (cost, K, TX, TY, Wx, Wy)
                     break  # larger nty only shrinks TY further
@@ -192,6 +214,47 @@ def _plan_tiles(grid, nsub, mult, widen_fold=False):
 def _drag_on(model):
     return (model.dynamics.immersed_drag is not None
             and model.grid.solid_cc is not None)
+
+
+def _solid_crop_rows(model):
+    """Count of southernmost interior rows that are FULLY solid (land/wall
+    across every x) — static data from the immersed mask, known at trace
+    time.  The tiled kernel skips those rows outright: on a fully-solid row
+    every velocity point is peripheral (act = 0 ⇒ u = v = 0), every σ point
+    has m_cc = 0 (⇒ γ gate < 0: σ frozen at its carry value) and α = a_max,
+    so the kernel's would-be outputs are known without running it, and no
+    active cell's stencil ever reads a value that differs from those
+    constants (land cells cannot propagate data: u/v enter neighbours only
+    via act-masked updates, σ only via msk-masked divergences).  The
+    flagship tripolar basin is 83 % land with 468/960 fully-solid southern
+    rows (the 45–58°N closure) — cropping them nearly halves the computed
+    y-extent.  Serial-only (meshed shards would need per-shard crops ⇒
+    shape-dependent compilation) and off under ``fixed_tiles`` (the bitwise
+    contract pins block geometry)."""
+    dyn = model.dynamics
+    if getattr(dyn.solver, "fixed_tiles", None) is not None:
+        return 0
+    grid = model.grid
+    if grid.mesh_axes is not None:
+        return 0
+    solid = model.masks.solid_full
+    if solid is None or isinstance(solid, jax.core.Tracer):
+        return 0
+    s = np.asarray(solid) > 0.5
+    rows = s[grid.Hx:grid.Hx + grid.Nx, grid.Hy:grid.Hy + grid.Ny].all(axis=0)
+    cs = 0
+    while cs < rows.size and rows[cs]:
+        cs += 1
+    if cs >= rows.size:
+        return 0  # degenerate all-solid domain: compute as before
+    return cs
+
+
+def _crop_y_lo(Hy, cs):
+    """First computed padded row.  Four fully-solid margin rows stay inside
+    the tile so every ACTIVE cell's radius-2 substep stencil reads in-block
+    clean rows, never the block-edge rows whose own reads roll-wrap."""
+    return max(0, Hy + cs - 4) if cs else 0
 
 
 def _fixed_plan(grid, nsub, fixed, mult, widen_fold=False):
@@ -286,7 +349,8 @@ def tiled_curvilinear_available(model):
         if _fixed_plan(grid, dyn.solver.substeps, fixed, mult,
                        widen_fold=widen) is None:
             return False
-    elif _plan_tiles(grid, dyn.solver.substeps, mult, widen_fold=widen) is None:
+    elif _plan_tiles(grid, dyn.solver.substeps, mult, widen_fold=widen,
+                     cs=_solid_crop_rows(model)) is None:
         return False
 
     def ok_val(x):
@@ -510,11 +574,14 @@ def _widen_folded(model, state, u_start, v_start, K):
 
 # --- per-substep gated boundary fills ------------------------------------------
 
-def _make_fillers(grid, TX, Wx, TY, Wy, edge_offsets):
+def _make_fillers(grid, TX, Wx, TY, Wy, edge_offsets, south_on=True):
     """Fill closures on a halo-extended tile.  ``edge_offsets``:
     (wx_off, ex_off, sy_off, ny_off) static local offsets of the domain-edge
     row/col inside the (single) triggering tile.  ``make(gxy, gates)`` binds
-    the traced coordinate blocks and shard-position gates."""
+    the traced coordinate blocks and shard-position gates.  ``south_on``
+    False elides the south-wall fill statically — under a solid-row crop no
+    tile contains the gy < 0 rows, so the where's predicate is provably
+    always false."""
     bounded_x = grid.topology[0] == BOUNDED
     bounded_y = grid.topology[1] == BOUNDED
     fold = grid.north_fold
@@ -540,11 +607,12 @@ def _make_fillers(grid, TX, Wx, TY, Wy, edge_offsets):
         def fill_y(q, face):
             if not bounded_y:
                 return q
-            gs_ = gates[_G_S] > 0
-            if face:
-                q = jnp.where((gy < 0) & gs_, 0.0, q)
-            else:
-                q = jnp.where((gy < 0) & gs_, q[:, sy_off:sy_off + 1], q)
+            if south_on:
+                gs_ = gates[_G_S] > 0
+                if face:
+                    q = jnp.where((gy < 0) & gs_, 0.0, q)
+                else:
+                    q = jnp.where((gy < 0) & gs_, q[:, sy_off:sy_off + 1], q)
             if not fold:
                 gn_ = gates[_G_N] > 0
                 if face:
@@ -595,7 +663,8 @@ def _tiled_curv_kernel(K, base_even, make_fillers, has_drag, immersed,
     coordinates come from `program_id` + iota, not streamed slabs.  Substep
     body math is `pallas_evp_curvilinear._curvilinear_kernel` verbatim; no
     fold branch — the fold halo self-evolves (module docstring)."""
-    (TX, TY, Wx, Wy, Hx, Hy, Nxl, Nyl, bounded_x, bounded_y, fold) = geom
+    (TX, TY, Wx, Wy, Hx, Hy, Nxl, Nyl, bounded_x, bounded_y, fold,
+     y_lo, south_on) = geom
     p = params_ref
     dt = p[_P_DT]
     f_cor = p[_P_F]
@@ -614,7 +683,7 @@ def _tiled_curv_kernel(K, base_even, make_fillers, has_drag, immersed,
     bx, by = c_ref.shape[1], c_ref.shape[2]
     gx = ((pl.program_id(0) * TX - (Wx + Hx))
           + lax.broadcasted_iota(jnp.int32, (bx, by), 0)).astype(jnp.float32)
-    gy = ((pl.program_id(1) * TY - (Wy + Hy))
+    gy = ((pl.program_id(1) * TY + y_lo - (Wy + Hy))
           + lax.broadcasted_iota(jnp.int32, (bx, by), 1)).astype(jnp.float32)
     fill_fc, fill_cf = make_fillers((gx, gy), gates_ref)
 
@@ -718,7 +787,8 @@ def _tiled_curv_kernel(K, base_even, make_fillers, has_drag, immersed,
             wall_ff = (wall_ff | ((gx <= 0) & (gates_ref[_G_W] > 0))
                        | ((gx >= Nxl) & (gates_ref[_G_E] > 0)))
         if bounded_y:
-            wall_ff = wall_ff | ((gy <= 0) & (gates_ref[_G_S] > 0))
+            if south_on:
+                wall_ff = wall_ff | ((gy <= 0) & (gates_ref[_G_S] > 0))
             if not fold:
                 wall_ff = wall_ff | ((gy >= Nyl) & (gates_ref[_G_N] > 0))
         imm_ff = (per_ff > 0.5) & ~wall_ff
@@ -972,13 +1042,14 @@ def _fixed_tile_P(model, h, a, fixed, interpret):
     return out[:nxp, :nyp]
 
 
-def _tile_indices(ext, n_int, H, n_tiles, T, W, wrap):
+def _tile_indices(ext, n_int, H, n_tiles, T, W, wrap, offset=0):
     """Carried-array gather indices + interior coordinates for all tiles
     along one dimension.  ``wrap``: periodic-unmeshed dims wrap into the
-    interior; others clamp at the carried-array edge."""
+    interior; others clamp at the carried-array edge.  ``offset``: first
+    covered index (the solid-row crop's y_lo; 0 = cover from the edge)."""
     idx, coords = [], []
     for i in range(n_tiles):
-        r = np.arange(i * T - W, i * T + T + W)
+        r = np.arange(offset + i * T - W, offset + i * T + T + W)
         coords.append((r - H).astype(np.float32))
         if wrap:
             idx.append(H + (r - H) % n_int)
@@ -1001,10 +1072,11 @@ def tiled_curvilinear_momentum_step(model, state, dt, u_start, v_start,
     mult = _MULT_DRAG if _drag_on(model) else _MULT
     widen = grid0.north_fold and grid0.mesh_axes is None
     fixed = getattr(model.dynamics.solver, "fixed_tiles", None)
+    cs = _solid_crop_rows(model)
     if fixed is not None:
         plan = _fixed_plan(grid0, nsub, fixed, mult, widen_fold=widen)
     else:
-        plan = _plan_tiles(grid0, nsub, mult, widen_fold=widen)
+        plan = _plan_tiles(grid0, nsub, mult, widen_fold=widen, cs=cs)
     if plan is None:
         raise ValueError("tiled curvilinear EVP: no tile plan fits VMEM")
     K, TX, TY, Wx, Wy = plan
@@ -1018,8 +1090,9 @@ def tiled_curvilinear_momentum_step(model, state, dt, u_start, v_start,
     grid = model.grid
     Hx, Hy, Nx, Ny = grid.Hx, grid.Hy, grid.Nx, grid.Ny
     nxp, nyp = grid.nxp, grid.nyp
+    y_lo = _crop_y_lo(Hy, cs)
 
-    ntx, nty = -(-nxp // TX), -(-nyp // TY)
+    ntx, nty = -(-nxp // TX), -(-(nyp - y_lo) // TY)
     bx, by = TX + 2 * Wx, TY + 2 * Wy
 
     params, planes, carry_in, has_drag, f_plane = _prepare_tiled_inputs(
@@ -1030,7 +1103,7 @@ def tiled_curvilinear_momentum_step(model, state, dt, u_start, v_start,
     wrap_x = grid.topology[0] == PERIODIC and not _meshed(grid, 0)
     wrap_y = grid.topology[1] == PERIODIC and not _meshed(grid, 1)
     idx_x, _ = _tile_indices(nxp, Nx, Hx, ntx, TX, Wx, wrap_x)
-    idx_y, _ = _tile_indices(nyp, Ny, Hy, nty, TY, Wy, wrap_y)
+    idx_y, _ = _tile_indices(nyp, Ny, Hy, nty, TY, Wy, wrap_y, offset=y_lo)
 
     def slab3(q):
         # The overlapped-tile gather as slices+concats (see
@@ -1055,14 +1128,16 @@ def tiled_curvilinear_momentum_step(model, state, dt, u_start, v_start,
     gates = jnp.stack([gate(0, True), gate(0, False),
                        gate(1, True), gate(1, False)])
 
+    south_on = (y_lo - Wy - Hy) < 1   # some tile still sees a gy <= 0 row
     edge_offsets = (Wx + Hx,
                     Wx + Hx + Nx - 1 - (ntx - 1) * TX,
-                    Wy + Hy,
-                    Wy + Hy + Ny - 1 - (nty - 1) * TY)
-    make_fillers = _make_fillers(grid, TX, Wx, TY, Wy, edge_offsets)
+                    Wy + Hy - y_lo,
+                    Wy + Hy + Ny - 1 - (nty - 1) * TY - y_lo)
+    make_fillers = _make_fillers(grid, TX, Wx, TY, Wy, edge_offsets,
+                                 south_on=south_on)
     geom = (TX, TY, Wx, Wy, Hx, Hy, Nx, Ny,
             grid.topology[0] == BOUNDED, grid.topology[1] == BOUNDED,
-            grid.north_fold)
+            grid.north_fold, y_lo, south_on)
 
     blk_c = pl.BlockSpec((n_planes, bx, by), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM)
@@ -1073,6 +1148,17 @@ def tiled_curvilinear_momentum_step(model, state, dt, u_start, v_start,
     out_rows, out_cols = ntx * TX, nty * TY
 
     repl_on = model.dynamics.rheology.pressure_formulation == "replacement"
+
+    if y_lo:
+        # The cropped rows' kernel outputs are known constants (see
+        # _solid_crop_rows): u = v = 0, σ = its carry value (frozen on
+        # solid rows in every chunk, so = the step's incoming σ), α = a_max.
+        zs = jnp.zeros((nxp, y_lo), jnp.float32)
+        south = (zs, zs,
+                 jnp.asarray(carry_in[2])[:, :y_lo],
+                 jnp.asarray(carry_in[3])[:, :y_lo],
+                 jnp.asarray(carry_in[4])[:, :y_lo],
+                 jnp.full((nxp, y_lo), params[_P_AMAX], jnp.float32))
 
     def run_chunk(base_even, carry):
         kernel = functools.partial(_tiled_curv_kernel, K, base_even,
@@ -1090,7 +1176,11 @@ def tiled_curvilinear_momentum_step(model, state, dt, u_start, v_start,
             interpret=interpret,
             **vmem_compiler_params(interpret),
         )(params, gates, consts3, carry3)
-        return tuple(out[k, :nxp, :nyp] for k in range(6))
+        if not y_lo:
+            return tuple(out[k, :nxp, :nyp] for k in range(6))
+        return tuple(
+            jnp.concatenate([south[k], out[k, :nxp, :nyp - y_lo]], 1)
+            for k in range(6))
 
     def refill(carry):
         """Re-impose fold/wall halos between exchange-free chunks with the

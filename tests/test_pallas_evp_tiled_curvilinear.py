@@ -96,8 +96,8 @@ def test_availability_gates():
                            advection=csi.WENO(order=5),
                            timestepper="ForwardEuler")
     assert not tiled_curvilinear_available(m2)
-    # prime substep count beyond the chunk cap: no K
-    m3 = csi.sea_ice_model(_tripolar_grid(), dynamics=_dynamics(17),
+    # prime substep count beyond the chunk cap (_CHUNK_CAP = 24): no K
+    m3 = csi.sea_ice_model(_tripolar_grid(), dynamics=_dynamics(29),
                            ice_thermodynamics=None,
                            advection=csi.WENO(order=5),
                            timestepper="ForwardEuler")
@@ -128,6 +128,33 @@ def test_odd_chunk_parity(substeps):
 def test_warped_curvilinear_matches_jnp():
     """Array metrics without a fold: bounded-y walls re-imposed in-kernel."""
     _compare_momentum(_warped_grid(), 12)
+
+
+def test_solid_row_crop_matches_jnp():
+    """Deep fully-solid southern band ⇒ the tiler crops those rows outright
+    (the flagship basin's 45–58°N closure is 468/960 such rows).  Equality
+    vs the jnp path must hold INCLUDING the cropped rows, whose outputs are
+    reconstructed as u = v = 0, σ = carry, α = a_max (frozen-land
+    invariant, _solid_crop_rows docstring)."""
+    from climaseaice_jl_tpu.dynamics.pallas_evp_tiled_curvilinear import (
+        _solid_crop_rows, _crop_y_lo)
+
+    N = 32
+    grid = csi.TripolarGrid((N, N), southernmost_latitude=-70.0, halo=5,
+                            dtype="float32")
+    mask = np.zeros((N, N), bool)
+    mask[:, :12] = True                      # deep fully-solid south band
+    mask[N // 3:N // 2, 3 * N // 4:] = True  # landmass into the fold
+    grid = csi.ImmersedBoundaryGrid(grid, mask)
+    model = csi.sea_ice_model(grid, dynamics=_dynamics(12),
+                              ice_thermodynamics=None,
+                              advection=csi.WENO(order=5),
+                              timestepper="ForwardEuler")
+    assert _solid_crop_rows(model) == 12
+    assert _crop_y_lo(grid.Hy, 12) == grid.Hy + 8  # 4 margin rows kept
+    _compare_momentum(grid, 12)
+    # drag config exercises the wall_ff south gate under the crop
+    _compare_momentum(grid, 12, drag=csi.ImmersedDrag(3e-3))
 
 
 def test_latitude_coriolis_matches_jnp():

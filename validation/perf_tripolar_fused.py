@@ -52,18 +52,21 @@ def main():
     from climaseaice_jl_tpu.dynamics.pallas_evp_curvilinear import (
         curvilinear_fused_available)
     from climaseaice_jl_tpu.dynamics.pallas_evp_tiled_curvilinear import (
-        tiled_curvilinear_available, _plan_tiles, _MULT, _MULT_DRAG, _drag_on)
+        tiled_curvilinear_available, _plan_tiles, _solid_crop_rows,
+        _MULT, _MULT_DRAG, _drag_on)
     tier = "jnp"
     plan = None
+    cs = 0
     if curvilinear_fused_available(model):
         tier = "curvilinear-whole-array"
     elif tiled_curvilinear_available(model):
         tier = "curvilinear-tiled"
         mult = _MULT_DRAG if _drag_on(model) else _MULT
+        cs = _solid_crop_rows(model)
         plan = _plan_tiles(model.grid, args.substeps, mult,
-                           widen_fold=model.grid.north_fold)
+                           widen_fold=model.grid.north_fold, cs=cs)
     print(json.dumps({"tier": tier, "plan": plan and list(plan),
-                      "grid": f"{Nx}x{Ny}",
+                      "solid_crop_rows": cs, "grid": f"{Nx}x{Ny}",
                       "backend": jax.default_backend()}), flush=True)
 
     step = jax.jit(lambda s, dt: _step(model, s, dt), donate_argnums=(0,))
