@@ -232,7 +232,7 @@ def _solid_crop_rows(model):
     shape-dependent compilation) and off under ``fixed_tiles`` (the bitwise
     contract pins block geometry)."""
     dyn = model.dynamics
-    if getattr(dyn.solver, "fixed_tiles", None) is not None:
+    if dyn is not None and getattr(dyn.solver, "fixed_tiles", None) is not None:
         return 0
     grid = model.grid
     if grid.mesh_axes is not None:

@@ -687,6 +687,35 @@ def with_halo(grid: Grid, halo):
     return g
 
 
+def south_crop_grid(g: Grid, cs: int):
+    """Grid view of padded rows [cs, nyp): same halos, Ny − cs interior rows
+    (exact sub-array views of the same metric values).  Used to skip
+    fully-solid southern rows in pointwise/stencil passes (the tendencies'
+    analog of the tiled EVP tier's solid-row crop): outputs for rows whose
+    stencil stays ≥ Hy inside the view are bitwise those of the full pass.
+    The view's south boundary semantics are meaningless — callers must
+    discard its first Hy output rows (full rows [cs, cs+Hy), fully solid)."""
+
+    def cutm(m):
+        if m is None or np.ndim(m) == 0:
+            return m
+        m = jnp.asarray(m)
+        if m.ndim == 2 and m.shape == g.shape:
+            return m[:, cs:]
+        if m.ndim == 2 and m.shape[0] == 1:   # (1, nyp) latitude row
+            return m[:, cs:]
+        raise NotImplementedError(f"south crop of metric shape {m.shape}")
+
+    def cut1(c):
+        return None if c is None else jnp.asarray(c)[cs:]
+
+    return g.evolve(
+        Ny=g.Ny - cs, yc=cut1(g.yc), yf=cut1(g.yf),
+        **{f: cutm(getattr(g, f)) for f in _METRIC_LOCS},
+        lon_cc=cutm(g.lon_cc), lat_cc=cutm(g.lat_cc),
+        solid_cc=cutm(g.solid_cc))
+
+
 def _shrink_dim_halos(g: Grid, Hx, Hy):
     """Slice a uniform-halo grid's coordinate/metric paddings down to
     per-dimension widths (exact: pure sub-array views of the same values)."""

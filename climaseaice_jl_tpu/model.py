@@ -308,7 +308,33 @@ def tracer_tendencies(model, state):
     if fixed_tile_advection_available(model):
         div = make_fixed_tile_div(model, u, v)
     else:
-        div = lambda c: horizontal_div_Uc(grid, adv, u, v, c, masks=adv_masks)
+        # Solid-row crop (the tendencies' analog of the tiled EVP tier's):
+        # on the ≥ cs fully-solid southern rows every face is peripheral, so
+        # fluxes are killed and the divergence is EXACTLY zero — compute on
+        # a row-sliced grid view and concatenate zeros (the view's first Hy
+        # output rows, whose stencils roll-wrap, are discarded into that
+        # zero band; all kept rows' stencils stay ≥ Hy − required_halo
+        # inside the view).  Serial-only, off under fixed_tiles/forcing
+        # (user closures carry full-shape arrays).
+        cs_adv = 0
+        if adv is not None and not forcing:
+            from .dynamics.pallas_evp_tiled_curvilinear import \
+                _solid_crop_rows
+            cs_adv = _solid_crop_rows(model)
+        if cs_adv >= 32:
+            from .grids import south_crop_grid
+            gc = south_crop_grid(grid, cs_adv)
+            uc, vc = u[:, cs_adv:], v[:, cs_adv:]
+            mc = (adv_masks[0][:, cs_adv:], adv_masks[1][:, cs_adv:])
+            zband = jnp.zeros((grid.nxp, cs_adv + grid.Hy), grid.np_dtype)
+
+            def div(c):
+                d = horizontal_div_Uc(gc, adv, uc, vc, c[:, cs_adv:],
+                                      masks=mc)
+                return jnp.concatenate([zband, d[:, grid.Hy:]], 1)
+        else:
+            div = lambda c: horizontal_div_Uc(grid, adv, u, v, c,
+                                              masks=adv_masks)
     Gh = -div(state.h) + F("h")
     Ga = -div(state.a) + F("a")
     Ghs = (-div(state.hs) + F("hs")) if state.hs is not None else None

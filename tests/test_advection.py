@@ -122,3 +122,53 @@ def test_upwind9_matches_weno_big_stencil():
     # hand coefficients from _upwind_faces (order 9, left-biased)
     hand = np.array([4, -41, 199, -641, 1879, 1375, -305, 55, -5]) / 2520.0
     np.testing.assert_allclose(big, hand, rtol=1e-12)
+
+
+def test_solid_row_crop_tendencies_bitwise(monkeypatch):
+    """The tracer-tendency solid-row crop (model.tracer_tendencies) must be
+    BITWISE equal to the full-grid computation: the cropped rows' divergence
+    is exactly zero (all fluxes killed at peripheral faces) and every kept
+    row's stencil reads identical values in the row-sliced view."""
+    import climaseaice_jl_tpu as csi
+    import climaseaice_jl_tpu.dynamics.pallas_evp_tiled_curvilinear as tc
+    from climaseaice_jl_tpu.model import _step
+
+    N = 96
+    grid = csi.TripolarGrid((N, N), southernmost_latitude=-70.0, halo=5,
+                            dtype="float32")
+    mask = np.zeros((N, N), bool)
+    mask[:, :40] = True                      # deep band: crop threshold ≥ 32
+    mask[N // 3:N // 2, 3 * N // 4:] = True
+    grid = csi.ImmersedBoundaryGrid(grid, mask)
+
+    def build():
+        dyn = csi.SeaIceMomentumEquation(
+            rheology=csi.ElastoViscoPlasticRheology(),
+            coriolis=csi.FPlane(f=1.4e-4),
+            top_momentum_stress={"u": 0.1, "v": 0.02},
+            bottom_momentum_stress=csi.SemiImplicitStress(),
+            solver=csi.SplitExplicitSolver(substeps=20))
+        model = csi.sea_ice_model(grid, dynamics=dyn,
+                                  ice_thermodynamics=None,
+                                  advection=csi.WENO(order=7),
+                                  timestepper="SplitRungeKutta3")
+        rng = np.random.default_rng(7)
+        h0 = np.where(mask, 0.0, 1.0 + 0.2 * rng.random((N, N)))
+        state = csi.initial_state(model, h=h0, a=np.where(mask, 0.0, 0.9),
+                                  u=0.0)
+        return model, state
+
+    model, state = build()
+    assert tc._solid_crop_rows(model) == 40
+    for _ in range(3):
+        state = _step(model, state, 600.0)
+    cropped = state
+
+    monkeypatch.setattr(tc, "_solid_crop_rows", lambda m: 0)
+    model, state = build()
+    for _ in range(3):
+        state = _step(model, state, 600.0)
+    for name in ("h", "a", "u", "v"):
+        a = np.asarray(getattr(cropped, name))
+        b = np.asarray(getattr(state, name))
+        assert np.array_equal(a, b), name
