@@ -345,7 +345,13 @@ def _make_evp_substep(model, state, dt, clock, P, un, vn, halo_u, halo_v):
 # --- overlapped halo exchange: boundary-band recompute --------------------------
 
 _BAND_W = 8   # interior cells per boundary band: the merge takes the 4-cell
-              # substep stencil depth, whose own stencil reads 4 more
+              # substep stencil depth, whose own stencil reads 4 more.
+              # NOT plan-derived on purpose: the on-chip curve
+              # (validation/scratch_band_cost.py, VALIDATION.md r5) shows a
+              # band substep costs 73-90 % of a FULL tile substep at every
+              # size ≤ 768² — dispatch-bound, width-independent — so the
+              # policy stays non-default; its win regime (if any) is
+              # ≫ 768²/shard on slow links, a pod-run hypothesis.
 
 
 def _band_slicer(grid, dim, side):

@@ -41,9 +41,8 @@ def build(N, substeps=120):
 
     km = 1e3
     grid = csi.RectilinearGrid(size=(N, N), x=(0, 512 * km), y=(0, 512 * km),
-                               halo=(5, 5), topology=("periodic", "periodic"))
+                               halo=5, topology=("periodic", "periodic"))
     dynamics = SeaIceMomentumEquation(
-        grid,
         top_momentum_stress={"u": 0.2, "v": 0.0},
         bottom_momentum_stress=SemiImplicitStress(),
         rheology=ElastoViscoPlasticRheology(),
