@@ -216,36 +216,47 @@ def _drag_on(model):
             and model.grid.solid_cc is not None)
 
 
-def _solid_crop_rows(model):
-    """Count of southernmost interior rows that are FULLY solid (land/wall
-    across every x) — static data from the immersed mask, known at trace
-    time.  The tiled kernel skips those rows outright: on a fully-solid row
-    every velocity point is peripheral (act = 0 ⇒ u = v = 0), every σ point
-    has m_cc = 0 (⇒ γ gate < 0: σ frozen at its carry value) and α = a_max,
-    so the kernel's would-be outputs are known without running it, and no
-    active cell's stencil ever reads a value that differs from those
-    constants (land cells cannot propagate data: u/v enter neighbours only
-    via act-masked updates, σ only via msk-masked divergences).  The
-    flagship tripolar basin is 83 % land with 468/960 fully-solid southern
-    rows (the 45–58°N closure) — cropping them nearly halves the computed
-    y-extent.  Serial-only (meshed shards would need per-shard crops ⇒
-    shape-dependent compilation) and off under ``fixed_tiles`` (the bitwise
-    contract pins block geometry)."""
+def _first_ocean_rows(model):
+    """Per-interior-column index of the first NON-solid row (Ny where a
+    column is fully solid) — static data from the immersed mask, known at
+    trace time.  None when the crop machinery is ineligible: no immersed
+    mask, meshed (per-shard crops ⇒ shape-dependent compilation),
+    ``fixed_tiles`` (the bitwise contract pins block geometry), or a traced
+    mask."""
     dyn = model.dynamics
     if dyn is not None and getattr(dyn.solver, "fixed_tiles", None) is not None:
-        return 0
+        return None
     grid = model.grid
     if grid.mesh_axes is not None:
-        return 0
+        return None
     solid = model.masks.solid_full
     if solid is None or isinstance(solid, jax.core.Tracer):
-        return 0
+        return None
     s = np.asarray(solid) > 0.5
-    rows = s[grid.Hx:grid.Hx + grid.Nx, grid.Hy:grid.Hy + grid.Ny].all(axis=0)
-    cs = 0
-    while cs < rows.size and rows[cs]:
-        cs += 1
-    if cs >= rows.size:
+    inter = s[grid.Hx:grid.Hx + grid.Nx, grid.Hy:grid.Hy + grid.Ny]
+    first = np.where(inter.all(axis=1), grid.Ny,
+                     np.argmin(inter, axis=1))
+    return first.astype(np.int64)
+
+
+def _solid_crop_rows(model):
+    """Count of southernmost interior rows that are FULLY solid (land/wall
+    across every x).  The tiled kernel skips those rows outright: on a
+    fully-solid row every velocity point is peripheral (act = 0 ⇒
+    u = v = 0), every σ point has m_cc = 0 (⇒ γ gate < 0: σ frozen at its
+    carry value) and α = a_max, so the kernel's would-be outputs are known
+    without running it, and no active cell's stencil ever reads a value
+    that differs from those constants (land cells cannot propagate data:
+    u/v enter neighbours only via act-masked updates, σ only via msk-masked
+    divergences; ``update_state``'s per-substage masking guarantees
+    h·ℵ = 0 on solid cells at every kernel entry).  The flagship tripolar
+    basin is 83 % land with 468/960 fully-solid southern rows (the 45–58°N
+    closure) — cropping them nearly halves the computed y-extent."""
+    first = _first_ocean_rows(model)
+    if first is None:
+        return 0
+    cs = int(first.min())
+    if cs >= model.grid.Ny:
         return 0  # degenerate all-solid domain: compute as before
     return cs
 
@@ -650,7 +661,7 @@ _PX_RHO, _PX_PSTAR, _PX_CHARD, _PX_CDRAG = 18, 19, 20, 21
 
 def _tiled_curv_kernel(K, base_even, make_fillers, has_drag, immersed,
                        f_plane, repl_on, geom,
-                       params_ref, gates_ref, c_ref, k_ref, o_ref):
+                       params_ref, gates_ref, xs_ref, c_ref, k_ref, o_ref):
     """One K-substep chunk on one halo-extended tile (v2).
 
     Inputs are two stacked blocks — consts (21, bx, by) and carry (6, bx, by)
@@ -664,7 +675,7 @@ def _tiled_curv_kernel(K, base_even, make_fillers, has_drag, immersed,
     body math is `pallas_evp_curvilinear._curvilinear_kernel` verbatim; no
     fold branch — the fold halo self-evolves (module docstring)."""
     (TX, TY, Wx, Wy, Hx, Hy, Nxl, Nyl, bounded_x, bounded_y, fold,
-     y_lo, south_on) = geom
+     y_lo, south_on, oy, ty_out) = geom
     p = params_ref
     dt = p[_P_DT]
     f_cor = p[_P_F]
@@ -681,7 +692,9 @@ def _tiled_curv_kernel(K, base_even, make_fillers, has_drag, immersed,
     Chard = p[_PX_CHARD]
 
     bx, by = c_ref.shape[1], c_ref.shape[2]
-    gx = ((pl.program_id(0) * TX - (Wx + Hx))
+    # per-tile x output-window starts from SMEM (i*TX for the regular
+    # tiling; arbitrary under the x-segmented crop)
+    gx = ((xs_ref[pl.program_id(0)] - (Wx + Hx))
           + lax.broadcasted_iota(jnp.int32, (bx, by), 0)).astype(jnp.float32)
     gy = ((pl.program_id(1) * TY + y_lo - (Wy + Hy))
           + lax.broadcasted_iota(jnp.int32, (bx, by), 1)).astype(jnp.float32)
@@ -954,7 +967,7 @@ def _tiled_curv_kernel(K, base_even, make_fillers, has_drag, immersed,
     u, v, s11, s22, s12, alpha = carry
 
     sx = slice(Wx, Wx + TX)
-    sy = slice(Wy, Wy + TY)
+    sy = slice(oy, oy + ty_out)
     o_ref[0] = u[sx, sy]
     o_ref[1] = v[sx, sy]
     o_ref[2] = s11[sx, sy]
@@ -1137,7 +1150,8 @@ def tiled_curvilinear_momentum_step(model, state, dt, u_start, v_start,
                                  south_on=south_on)
     geom = (TX, TY, Wx, Wy, Hx, Hy, Nx, Ny,
             grid.topology[0] == BOUNDED, grid.topology[1] == BOUNDED,
-            grid.north_fold, y_lo, south_on)
+            grid.north_fold, y_lo, south_on, Wy, TY)
+    xs = jnp.asarray(np.arange(ntx) * TX, jnp.int32)
 
     blk_c = pl.BlockSpec((n_planes, bx, by), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM)
@@ -1170,12 +1184,12 @@ def tiled_curvilinear_momentum_step(model, state, dt, u_start, v_start,
             grid=(ntx, nty),
             out_shape=jax.ShapeDtypeStruct((6, out_rows, out_cols),
                                            jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
             + [blk_c, blk_k],
             out_specs=blk_o,
             interpret=interpret,
             **vmem_compiler_params(interpret),
-        )(params, gates, consts3, carry3)
+        )(params, gates, xs, consts3, carry3)
         if not y_lo:
             return tuple(out[k, :nxp, :nyp] for k in range(6))
         return tuple(
